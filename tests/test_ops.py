@@ -1,0 +1,210 @@
+"""Parity tests for ops: FAST vs OpenCV, BRIEF properties, Hamming matching."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vision_slam_frontend_tpu.ops import (
+    gaussian_blur,
+    fast_detect,
+    compute_orientations,
+    brief_describe,
+    pack_bits,
+    unpack_bits,
+    hamming_distance_matrix,
+    ratio_test_match,
+    best_percent_mask,
+)
+from vision_slam_frontend_tpu.ops.brief import detect_and_describe
+from vision_slam_frontend_tpu.ops.hamming import match_window
+
+
+def synthetic_corner_image(seed=0, H=240, W=320):
+    """Textured image with strong corners: random rectangles + mild noise."""
+    rng = np.random.default_rng(seed)
+    img = np.full((H, W), 128.0, np.float32)
+    for _ in range(40):
+        y, x = rng.integers(20, H - 40), rng.integers(20, W - 40)
+        h, w = rng.integers(10, 30, 2)
+        val = rng.uniform(0, 255)
+        img[y : y + h, x : x + w] = val
+    img += rng.normal(0, 2.0, (H, W)).astype(np.float32)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+class TestFast:
+    def test_vs_opencv(self):
+        cv2 = pytest.importorskip("cv2")
+        img = synthetic_corner_image()
+        det = cv2.FastFeatureDetector_create(10, True)
+        cv_kps = det.detect(img)
+        cv_pts = np.array([k.pt for k in cv_kps])  # (N, 2) x,y
+        # Exclude the border region our detector masks.
+        b = 3
+        keep = (
+            (cv_pts[:, 0] >= b)
+            & (cv_pts[:, 0] < img.shape[1] - b)
+            & (cv_pts[:, 1] >= b)
+            & (cv_pts[:, 1] < img.shape[0] - b)
+        )
+        cv_pts = cv_pts[keep]
+        kps, scores, valid = fast_detect(
+            jnp.asarray(img, jnp.float32), threshold=10.0, max_keypoints=2048, border=3
+        )
+        ours = np.asarray(kps)[np.asarray(valid)]
+        assert len(ours) > 50
+        # Every OpenCV corner should have one of ours within 1.5 px.
+        d = np.linalg.norm(cv_pts[:, None, :] - ours[None, :, :], axis=-1)
+        recall = np.mean(d.min(axis=1) <= 1.5)
+        assert recall > 0.9, f"FAST recall vs OpenCV too low: {recall}"
+        # And we shouldn't hallucinate wildly: most of ours near an OpenCV corner.
+        precision = np.mean(d.min(axis=0) <= 1.5)
+        assert precision > 0.9, f"FAST precision vs OpenCV too low: {precision}"
+
+    def test_topk_capacity_and_masks(self):
+        img = synthetic_corner_image(1)
+        kps, scores, valid = fast_detect(jnp.asarray(img, jnp.float32), max_keypoints=16)
+        assert kps.shape == (16, 2)
+        assert bool(np.all(np.asarray(scores)[np.asarray(valid)] > 10.0))
+
+    def test_blank_image_no_corners(self):
+        img = jnp.full((64, 64), 100.0)
+        kps, scores, valid = fast_detect(img, max_keypoints=32)
+        assert not bool(np.any(np.asarray(valid)))
+
+
+class TestOrientation:
+    def test_gradient_patch_orientation(self):
+        # A patch whose intensity increases along +x has centroid to the right
+        # of center: orientation ~ 0. Along +y: ~ pi/2.
+        H = W = 64
+        xs = np.tile(np.arange(W, dtype=np.float32), (H, 1))
+        ys = xs.T
+        kp = jnp.array([[32.0, 32.0]])
+        v = jnp.array([True])
+        th_x = float(compute_orientations(jnp.asarray(xs), kp, v)[0])
+        th_y = float(compute_orientations(jnp.asarray(ys), kp, v)[0])
+        assert abs(th_x) < 0.05
+        assert abs(th_y - np.pi / 2) < 0.05
+
+    def test_rotation_equivariance(self):
+        img = synthetic_corner_image(2, H=128, W=128).astype(np.float32)
+        # Rotate image by 90 deg CCW; a keypoint at (x, y) maps to (y, W-1-x).
+        rot = np.rot90(img).copy()  # rot[i,j] = img[j, W-1-i]
+        kp = np.array([[40.0, 57.0]], np.float32)
+        v = jnp.array([True])
+        th0 = float(compute_orientations(jnp.asarray(img), jnp.asarray(kp), v)[0])
+        kp_rot = np.array([[kp[0, 1], img.shape[1] - 1 - kp[0, 0]]], np.float32)
+        th1 = float(compute_orientations(jnp.asarray(rot), jnp.asarray(kp_rot), v)[0])
+        # Image-axis rotation by 90 CCW (y-down coords) shifts theta by -pi/2.
+        diff = (th1 - th0 + np.pi / 2 + np.pi) % (2 * np.pi) - np.pi
+        assert abs(diff) < 0.1, f"orientation not equivariant: {th0} vs {th1}"
+
+
+class TestBrief:
+    def test_pack_unpack_roundtrip(self):
+        rng = np.random.default_rng(3)
+        bits = rng.integers(0, 2, size=(10, 256)).astype(np.float32)
+        packed = pack_bits(jnp.asarray(bits))
+        assert packed.dtype == jnp.uint32
+        unpacked = unpack_bits(packed)
+        np.testing.assert_array_equal(np.asarray(unpacked), bits)
+
+    def test_descriptor_stability_under_shift(self):
+        """Same world content, image shifted: descriptors should be close."""
+        img = synthetic_corner_image(4).astype(np.float32)
+        shift = 7
+        img2 = np.roll(img, shift, axis=1)  # shift right by 7 px
+        kps, scores, desc1, valid = detect_and_describe(jnp.asarray(img), max_keypoints=128)
+        kps_np = np.asarray(kps)
+        valid_np = np.asarray(valid)
+        # Keep keypoints that stay inside the border after shifting.
+        ok = valid_np & (kps_np[:, 0] + shift < img.shape[1] - 24)
+        kps2 = kps_np.copy()
+        kps2[:, 0] += shift
+        blurred2 = gaussian_blur(jnp.asarray(img2), 2.0)
+        theta2 = compute_orientations(jnp.asarray(img2), jnp.asarray(kps2), jnp.asarray(ok))
+        desc2 = brief_describe(blurred2, jnp.asarray(kps2), theta2, jnp.asarray(ok))
+        b1 = np.asarray(unpack_bits(desc1))
+        b2 = np.asarray(unpack_bits(desc2))
+        dist_same = np.sum(b1[ok] != b2[ok], axis=-1)
+        # Distances between corresponding descriptors must be far below the
+        # random-pair expectation of ~128.
+        assert np.median(dist_same) < 40, f"median self-distance {np.median(dist_same)}"
+
+
+class TestHamming:
+    def test_distance_matrix_exact(self):
+        rng = np.random.default_rng(5)
+        a = rng.integers(0, 2**32, size=(32, 8), dtype=np.uint32)
+        b = rng.integers(0, 2**32, size=(48, 8), dtype=np.uint32)
+        ours = np.asarray(
+            hamming_distance_matrix(unpack_bits(jnp.asarray(a)), unpack_bits(jnp.asarray(b)))
+        )
+        # numpy reference: popcount of xor
+        av = a[:, None, :]
+        bv = b[None, :, :]
+        x = av ^ bv
+        theirs = np.zeros((32, 48), np.int64)
+        for w in range(8):
+            theirs += np.vectorize(lambda v: bin(v).count("1"))(x[:, :, w])
+        np.testing.assert_array_equal(ours.astype(np.int64), theirs)
+
+    def test_knn_ratio_vs_opencv(self):
+        cv2 = pytest.importorskip("cv2")
+        rng = np.random.default_rng(6)
+        # Build train descriptors; queries = perturbed copies (so ratio passes)
+        # plus pure noise (so ratio fails).
+        Kt, Kq = 64, 64
+        train_bits = rng.integers(0, 2, size=(Kt, 256)).astype(np.uint8)
+        query_bits = train_bits.copy()
+        flip = rng.random((Kq, 256)) < 0.05
+        query_bits = query_bits ^ flip
+        train_u8 = np.packbits(train_bits, axis=-1, bitorder="little")
+        query_u8 = np.packbits(query_bits, axis=-1, bitorder="little")
+        matcher = cv2.BFMatcher(cv2.NORM_HAMMING)
+        knn = matcher.knnMatch(query_u8, train_u8, k=2)
+        cv_matches = {}
+        for pair in knn:
+            if len(pair) == 2 and pair[0].distance < 0.6 * pair[1].distance:
+                cv_matches[pair[0].queryIdx] = (pair[0].trainIdx, pair[0].distance)
+        packed_t = jnp.asarray(train_u8.view(np.uint32).reshape(Kt, 8))
+        packed_q = jnp.asarray(query_u8.view(np.uint32).reshape(Kq, 8))
+        vt = jnp.ones(Kt, bool)
+        vq = jnp.ones(Kq, bool)
+        idx, dist, matched = ratio_test_match(packed_q, vq, packed_t, vt, 0.6)
+        ours = {
+            int(i): (int(idx[i]), float(dist[i]))
+            for i in range(Kq)
+            if bool(matched[i])
+        }
+        assert set(ours.keys()) == set(cv_matches.keys())
+        for k in ours:
+            assert ours[k][0] == cv_matches[k][0]
+            assert abs(ours[k][1] - cv_matches[k][1]) < 1e-3
+
+    def test_best_percent(self):
+        dist = jnp.asarray(np.array([5.0, 1.0, 3.0, 2.0, 4.0], np.float32))
+        matched = jnp.asarray(np.array([True, True, True, True, False]))
+        keep = np.asarray(best_percent_mask(dist, matched, 0.5))
+        # floor(4 * 0.5) = 2 best among matched: distances 1.0 and 2.0.
+        np.testing.assert_array_equal(keep, [False, True, False, True, False])
+
+    def test_match_window_batches(self):
+        rng = np.random.default_rng(7)
+        W, K = 3, 32
+        base = rng.integers(0, 2**32, size=(K, 8), dtype=np.uint32)
+        window = np.stack([base, base, rng.integers(0, 2**32, size=(K, 8), dtype=np.uint32)])
+        valid_w = np.ones((W, K), bool)
+        valid_c = np.ones(K, bool)
+        idx, dist, matched = match_window(
+            jnp.asarray(window), jnp.asarray(valid_w), jnp.asarray(base),
+            jnp.asarray(valid_c), 0.6, 1.0,
+        )
+        idx, matched = np.asarray(idx), np.asarray(matched)
+        # Frames 0/1 are identical to current: every feature matches itself.
+        assert matched[0].all() and matched[1].all()
+        np.testing.assert_array_equal(idx[0], np.arange(K))
+        np.testing.assert_array_equal(idx[1], np.arange(K))
+        # Random frame 2: essentially no ratio-test survivors.
+        assert matched[2].sum() < K // 4

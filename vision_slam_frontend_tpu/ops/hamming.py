@@ -1,0 +1,169 @@
+"""Hamming descriptor matching on the MXU: distance matrices as matmuls.
+
+TPU-native replacement for cv::BFMatcher::knnMatch with NORM_HAMMING plus the
+reference's Lowe ratio test and best-percent cut
+(reference: src/slam_frontend.cc:521-538 GetMatches, :282-309 GetFeatureMatches).
+
+Key idea: for binary descriptors unpacked to {0,1} rows A (Kq x 256) and
+B (Kt x 256),
+
+    hamming(a, b) = |a| + |b| - 2 * a.b
+
+so the full Kq x Kt distance matrix is one 256-deep matmul — exactly what the
+TPU's systolic array is built for — instead of the reference's O(Kq*Kt)
+scalar XOR/popcount loop. bf16 operands are exact here (integers <= 256) with
+fp32 accumulation. The temporal window's W frames batch into a single
+(W*K x 256) x (256 x K) matmul.
+
+All outputs are fixed-capacity query-aligned arrays with validity masks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from vision_slam_frontend_tpu.ops.brief import unpack_bits
+
+_LARGE = 1e9
+
+
+def hamming_distance_matrix(
+    bits_q: jnp.ndarray, bits_t: jnp.ndarray
+) -> jnp.ndarray:
+    """Pairwise Hamming distances between unpacked {0,1} descriptor matrices.
+
+    Args:
+      bits_q: (..., Kq, 256) float (0/1 values).
+      bits_t: (Kt, 256) float.
+
+    Returns:
+      (..., Kq, Kt) float32 distances.
+    """
+    pop_q = jnp.sum(bits_q, axis=-1)  # (..., Kq)
+    pop_t = jnp.sum(bits_t, axis=-1)  # (Kt,)
+    cross = jax.lax.dot_general(
+        bits_q.astype(jnp.bfloat16),
+        bits_t.astype(jnp.bfloat16),
+        dimension_numbers=(((bits_q.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return pop_q[..., :, None] + pop_t[None, :] - 2.0 * cross
+
+
+def knn2_match(
+    dist: jnp.ndarray, valid_t: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-query best and second-best over the train axis.
+
+    Args:
+      dist: (Kq, Kt) distances.
+      valid_t: (Kt,) bool train validity (invalid columns are ignored).
+
+    Returns:
+      (best_idx (Kq,) int32, best_dist (Kq,), second_dist (Kq,)).
+    """
+    masked = jnp.where(valid_t[None, :], dist, _LARGE)
+    neg_top2, idx_top2 = lax.top_k(-masked, 2)
+    best_idx = idx_top2[:, 0].astype(jnp.int32)
+    return best_idx, -neg_top2[:, 0], -neg_top2[:, 1]
+
+
+@jax.jit
+def ratio_test_match(
+    desc_q: jnp.ndarray,
+    valid_q: jnp.ndarray,
+    desc_t: jnp.ndarray,
+    valid_t: jnp.ndarray,
+    ratio: float = 0.6,
+):
+    """Brute-force kNN(k=2) + Lowe ratio test, query-aligned.
+
+    The exact semantics of the reference's GetMatches
+    (src/slam_frontend.cc:521-538): a query keypoint matches its nearest
+    train keypoint iff d1 < ratio * d2.
+
+    Args:
+      desc_q / desc_t: (K, 8) uint32 packed descriptors.
+      valid_q / valid_t: (K,) bool.
+      ratio: nn_match_ratio (reference default 0.6, src/slam_frontend.cc:555).
+
+    Returns:
+      train_idx: (Kq,) int32 matched train index (0 where invalid).
+      dist: (Kq,) float32 match distance (+LARGE where invalid).
+      matched: (Kq,) bool.
+    """
+    bq = unpack_bits(desc_q)
+    bt = unpack_bits(desc_t)
+    dist = hamming_distance_matrix(bq, bt)
+    best_idx, d1, d2 = knn2_match(dist, valid_t)
+    matched = valid_q & (d1 < ratio * d2) & (d1 < _LARGE / 2)
+    return (
+        jnp.where(matched, best_idx, 0),
+        jnp.where(matched, d1, _LARGE),
+        matched,
+    )
+
+
+@jax.jit
+def best_percent_mask(
+    dist: jnp.ndarray, matched: jnp.ndarray, best_percent: float
+) -> jnp.ndarray:
+    """Keep only the best `best_percent` fraction of matches by distance.
+
+    Mirrors the reference's sort-and-truncate
+    (src/slam_frontend.cc:289-291): num_good = floor(num_matches * pct),
+    keep the num_good smallest distances. Implemented as a rank threshold so
+    shapes stay static.
+    """
+    masked = jnp.where(matched, dist, _LARGE)
+    order = jnp.argsort(masked)  # ascending; stable
+    ranks = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
+    num_valid = jnp.sum(matched.astype(jnp.int32))
+    num_good = (num_valid.astype(jnp.float32) * best_percent).astype(jnp.int32)
+    return matched & (ranks < num_good)
+
+
+@partial(jax.jit, static_argnames=())
+def match_window(
+    desc_window: jnp.ndarray,
+    valid_window: jnp.ndarray,
+    desc_curr: jnp.ndarray,
+    valid_curr: jnp.ndarray,
+    ratio: float,
+    best_percent: float,
+):
+    """Match all W past frames against the current frame in one shot.
+
+    The reference loops GetFeatureMatches over <=10 past frames
+    (src/slam_frontend.cc:424-434); here the whole window is a single
+    (W*K x 256) x (256 x K) MXU matmul + batched reductions.
+
+    Args:
+      desc_window: (W, K, 8) uint32 past descriptors (query side — the
+        reference passes past as query, current as train).
+      valid_window: (W, K) bool.
+      desc_curr: (K, 8) uint32, valid_curr: (K,) bool.
+      ratio, best_percent: reference defaults 0.6 / 0.3.
+
+    Returns:
+      train_idx: (W, K) int32 current-frame index matched by each past feature.
+      dist: (W, K) float32.
+      matched: (W, K) bool (ratio test + per-frame best-percent cut applied).
+    """
+    W, K, _ = desc_window.shape
+    bq = jax.vmap(unpack_bits)(desc_window)  # (W, K, 256)
+    bt = unpack_bits(desc_curr)  # (K, 256)
+    dist = hamming_distance_matrix(bq.reshape(W * K, -1), bt).reshape(W, K, K)
+    best_idx, d1, d2 = jax.vmap(lambda d: knn2_match(d, valid_curr))(dist)
+    matched = valid_window & (d1 < ratio * d2) & (d1 < _LARGE / 2)
+    d1m = jnp.where(matched, d1, _LARGE)
+    keep = jax.vmap(lambda d, m: best_percent_mask(d, m, best_percent))(d1m, matched)
+    return (
+        jnp.where(keep, best_idx, 0),
+        jnp.where(keep, d1, _LARGE),
+        keep,
+    )
