@@ -1,0 +1,169 @@
+"""Integration tests: the full frontend pipeline over a synthetic stereo world."""
+
+import numpy as np
+import pytest
+
+from vision_slam_frontend_tpu.frontend import Frontend, FrontendConfig
+from vision_slam_frontend_tpu.io.synthetic import (
+    PlaneScene,
+    SyntheticRig,
+    generate_sequence,
+    make_texture,
+)
+
+
+@pytest.fixture(scope="module")
+def pipeline_run():
+    """Run the frontend over a 12-frame synthetic sequence once per module."""
+    rig = SyntheticRig()
+    config = FrontendConfig(
+        calib=rig.calib(),
+        max_features=256,
+        frame_life=5,
+        fast_threshold=12.0,
+    )
+    frontend = Frontend(config)
+    frames = list(generate_sequence(num_frames=12, step=0.25, rig=rig))
+    added = []
+    for f in frames:
+        frontend.observe_odometry(f.odom_translation, f.odom_rotation, f.timestamp)
+        added.append(frontend.observe_image(f.left, f.right, f.timestamp))
+    return frontend, frames, added, rig
+
+
+class TestFrontendPipeline:
+    def test_keyframe_gating(self, pipeline_run):
+        frontend, frames, added, rig = pipeline_run
+        # Frame 0: odometry just initialized, no motion yet -> gate closed.
+        assert added[0] is False
+        # Every subsequent frame moves 0.25 m > 0.2 m -> keyframe.
+        assert all(added[1:]), f"keyframes missed: {added}"
+        assert frontend.get_num_poses() == len(frames) - 1
+
+    def test_features_and_stereo(self, pipeline_run):
+        frontend, frames, added, rig = pipeline_run
+        problem = frontend.get_slam_problem()
+        for node in problem.nodes:
+            assert len(node.features) > 40, (
+                f"node {node.node_idx}: only {len(node.features)} stereo features"
+            )
+            # Features indices are dense 0..n-1.
+            assert [f.feature_idx for f in node.features] == list(
+                range(len(node.features))
+            )
+
+    def test_triangulated_depth_vs_ground_truth(self, pipeline_run):
+        frontend, frames, added, rig = pipeline_run
+        problem = frontend.get_slam_problem()
+        scene = PlaneScene.ground(make_texture(0))
+        K = rig.K()
+        kf_frames = [f for f, a in zip(frames, added) if a]
+        rel_errs = []
+        for node, frame in zip(problem.nodes, kf_frames):
+            px = np.array([f.pixel for f in node.features])
+            z_hat = np.array([f.point3d[2] for f in node.features])
+            z_gt = scene.depth(K, frame.cam_to_world_R, frame.cam_pos, px)
+            ok = z_gt > 0.5
+            rel_errs.append(np.abs(z_hat[ok] - z_gt[ok]) / z_gt[ok])
+        rel = np.concatenate(rel_errs)
+        assert np.median(rel) < 0.05, f"median depth error {np.median(rel):.3f}"
+        assert np.mean(rel < 0.15) > 0.8
+
+    def test_vision_factors(self, pipeline_run):
+        frontend, frames, added, rig = pipeline_run
+        problem = frontend.get_slam_problem()
+        n = len(problem.nodes)
+        # One factor per (window slot, keyframe) pair: node k has min(k, W)
+        # past frames.
+        W = frontend.config.frame_life
+        expected = sum(min(k, W) for k in range(n))
+        assert len(problem.vision_factors) == expected
+        # Consecutive-frame factors should carry plenty of matches.
+        consec = [
+            f
+            for f in problem.vision_factors
+            if f.pose_idx_current == f.pose_idx_initial + 1
+        ]
+        assert consec and all(len(f.feature_matches) > 10 for f in consec)
+        # Match indices must be in range of the node feature lists.
+        for f in problem.vision_factors:
+            n_init = len(problem.nodes[f.pose_idx_initial].features)
+            n_curr = len(problem.nodes[f.pose_idx_current].features)
+            for m in f.feature_matches:
+                assert 0 <= m.feature_idx_initial < n_init
+                assert 0 <= m.feature_idx_current < n_curr
+
+    def test_odometry_factors(self, pipeline_run):
+        frontend, frames, added, rig = pipeline_run
+        problem = frontend.get_slam_problem()
+        n = len(problem.nodes)
+        assert len(problem.odometry_factors) == n - 1
+        for f in problem.odometry_factors:
+            assert f.pose_j == f.pose_i + 1
+            # Forward motion of ~0.25 m along +z (camera convention).
+            np.testing.assert_allclose(
+                np.linalg.norm(f.translation), 0.25, atol=0.02
+            )
+            assert f.translation[2] > 0.2
+
+    def test_node_poses_match_odometry(self, pipeline_run):
+        frontend, frames, added, rig = pipeline_run
+        problem = frontend.get_slam_problem()
+        kf_frames = [f for f, a in zip(frames, added) if a]
+        for node, frame in zip(problem.nodes, kf_frames):
+            # World frame == odometry-init frame == frame-0 camera frame.
+            np.testing.assert_allclose(
+                node.pose.loc, frame.cam_pos, atol=1e-4
+            )
+
+    def test_track_ids_chain(self, pipeline_run):
+        frontend, frames, added, rig = pipeline_run
+        tids = frontend.node_track_ids
+        assert len(tids) == frontend.get_num_poses()
+        # Tracks must persist: some of node k's features carry a track id
+        # born in an earlier keyframe. The ceiling is set by the best-percent
+        # cut (0.3 of ratio-test matches survive per pair), so expect ~15-20%.
+        K = frontend.config.max_features
+        for k in range(2, len(tids)):
+            born_earlier = np.mean(tids[k] // K < k)
+            assert born_earlier > 0.08, f"node {k}: only {born_earlier:.2f} inherited tracks"
+        # And at least one track must span >= 3 keyframes (depth-2 inheritance).
+        last = len(tids) - 1
+        assert np.any(tids[last] // K <= last - 2)
+
+    def test_summary_line(self, pipeline_run):
+        frontend, frames, added, rig = pipeline_run
+        s = frontend.get_slam_problem().summary()
+        assert "nodes" in s and "vision factors" in s
+
+
+def test_blank_images_no_features():
+    """Degenerate input must not crash: zero features, empty factors."""
+    rig = SyntheticRig()
+    config = FrontendConfig(calib=rig.calib(), max_features=64, frame_life=3)
+    frontend = Frontend(config)
+    blank = np.zeros((rig.height, rig.width), np.float32)
+    frontend.observe_odometry(np.zeros(3), np.array([1.0, 0, 0, 0]), 0.0)
+    assert frontend.observe_image(blank, blank, 0.0) is False  # gate closed
+    frontend.observe_odometry(np.array([0.3, 0, 0]), np.array([1.0, 0, 0, 0]), 1.0)
+    assert frontend.observe_image(blank, blank, 1.0) is True
+    problem = frontend.get_slam_problem()
+    assert len(problem.nodes) == 1
+    assert len(problem.nodes[0].features) == 0
+
+
+def test_config_yaml_roundtrip(tmp_path):
+    config = FrontendConfig(max_features=128, nn_match_ratio=0.7)
+    p = str(tmp_path / "config.yaml")
+    config.save(p)
+    loaded = FrontendConfig.load(p)
+    assert loaded.max_features == 128
+    assert loaded.nn_match_ratio == 0.7
+    np.testing.assert_allclose(loaded.fundamental, config.fundamental)
+
+
+def test_config_rejects_unknown_keys(tmp_path):
+    p = tmp_path / "bad.yaml"
+    p.write_text("nonexistent_knob: 3\n")
+    with pytest.raises(ValueError):
+        FrontendConfig.load(str(p))

@@ -1,0 +1,249 @@
+"""Host-side Frontend driver: odometry gating + problem accumulation.
+
+The thin streaming shell around the jitted keyframe step — the TPU-native
+equivalent of the reference's slam::Frontend class surface
+(reference: src/slam_frontend.h:117-143): ObserveImage / ObserveOdometry /
+GetSLAMProblem / GetNumPoses / GetConfig + debug accessors.
+
+Behavioral fixes vs the reference (SURVEY.md quirks): the first odometry
+observation initializes prev_* from the current message instead of from
+uninitialized members (quirk 5); vision factors still get emitted for every
+window pair regardless of match count, matching the reference's effective
+behavior (its min_vision_matches filter is commented out).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import jax
+
+from vision_slam_frontend_tpu.frontend.config import FrontendConfig
+from vision_slam_frontend_tpu.frontend.keyframe import (
+    KeyframeResult,
+    StepParams,
+    WindowState,
+    keyframe_step,
+)
+from vision_slam_frontend_tpu.types.slam_types import (
+    FeatureMatch,
+    OdometryFactor,
+    RobotPose,
+    SLAMNode,
+    SLAMProblem,
+    VisionFactor,
+    VisionFeature,
+)
+from vision_slam_frontend_tpu.utils import np_geom
+
+
+class Frontend:
+    """Stateful stereo SLAM frontend.
+
+    Feed it odometry and stereo images; it emits a SLAMProblem. All heavy
+    compute runs as one jitted XLA program per keyframe; this class only
+    gates keyframes on odometry and converts device outputs into the
+    host-side problem containers.
+    """
+
+    def __init__(self, config: Optional[FrontendConfig | str] = None):
+        if config is None or config == "":
+            config = FrontendConfig()
+        elif isinstance(config, str):
+            config = FrontendConfig.load(config)
+        self.config = config
+        self._params = StepParams.from_config(config)
+        self._state = WindowState.create(
+            config.frame_life, config.max_features, config.stereo_threshold_init
+        )
+        self._curr_frame_id = 0
+
+        self._odom_initialized = False
+        self._init_odom_t = np.zeros(3)
+        self._init_odom_q = np.array([1.0, 0, 0, 0])
+        self._prev_odom_t = np.zeros(3)
+        self._prev_odom_q = np.array([1.0, 0, 0, 0])
+        self._odom_t = np.zeros(3)
+        self._odom_q = np.array([1.0, 0, 0, 0])
+        self._odom_timestamp = 0.0
+
+        self._nodes: List[SLAMNode] = []
+        self._vision_factors: List[VisionFactor] = []
+        self._odometry_factors: List[OdometryFactor] = []
+        self._node_track_ids: List[np.ndarray] = []
+
+        self._debug_data: List[dict] = []
+        self._last_image_shape = None
+
+    # ------------------------------------------------------------------
+    # Observation API
+    # ------------------------------------------------------------------
+
+    def observe_odometry(
+        self, translation: np.ndarray, rotation: np.ndarray, timestamp: float
+    ) -> None:
+        """Latch the latest odometry pose. `rotation` is [w, x, y, z].
+
+        (reference: src/slam_frontend.cc:250-263 ObserveOdometry)
+        """
+        translation = np.asarray(translation, np.float64)
+        rotation = np_geom.quat_normalize(np.asarray(rotation, np.float64))
+        if not self._odom_initialized:
+            self._init_odom_t = translation.copy()
+            self._init_odom_q = rotation.copy()
+            self._prev_odom_t = translation.copy()
+            self._prev_odom_q = rotation.copy()
+            self._odom_initialized = True
+        self._odom_t = translation
+        self._odom_q = rotation
+        self._odom_timestamp = float(timestamp)
+
+    def _odom_check(self) -> bool:
+        """Keyframe gate: moved >= min_odom_translation or rotated >=
+        min_odom_rotation since the last keyframe
+        (reference: src/slam_frontend.cc:175-186 OdomCheck)."""
+        if not self._odom_initialized:
+            return False
+        if np.linalg.norm(self._prev_odom_t - self._odom_t) > self.config.min_odom_translation:
+            return True
+        if np_geom.quat_angular_distance(self._prev_odom_q, self._odom_q) > self.config.min_odom_rotation:
+            return True
+        return False
+
+    def observe_image(
+        self, left_image: np.ndarray, right_image: np.ndarray, time: float
+    ) -> bool:
+        """Process a stereo pair; returns True iff a new SLAM node was added.
+
+        (reference: src/slam_frontend.cc:400-472 ObserveImage)
+        """
+        if not self._odom_check():
+            return False
+        shape = (np.shape(left_image), np.shape(right_image))
+        if self._last_image_shape is not None and shape != self._last_image_shape:
+            import warnings
+
+            warnings.warn(
+                f"stereo image shape changed {self._last_image_shape} -> {shape}: "
+                "the keyframe step will silently recompile (slow on TPU); feed "
+                "fixed-size images",
+                stacklevel=2,
+            )
+        self._last_image_shape = shape
+        fid = self._curr_frame_id
+        self._state, result = keyframe_step(
+            self._params,
+            self._state,
+            np.asarray(left_image, np.float32),
+            np.asarray(right_image, np.float32),
+            np.int32(fid),
+            capacity=self.config.max_features,
+            window=self.config.frame_life,
+            border=self.config.detect_border,
+            blur_sigma=self.config.blur_sigma,
+        )
+        r: KeyframeResult = jax.device_get(result)
+        self._accumulate(fid, r)
+        if self.config.debug_images:
+            self._debug_data.append(
+                {
+                    "frame_id": fid,
+                    "left_image": np.asarray(left_image),
+                    "right_image": np.asarray(right_image),
+                    "result": r,
+                }
+            )
+        self._prev_odom_t = self._odom_t.copy()
+        self._prev_odom_q = self._odom_q.copy()
+        self._curr_frame_id += 1
+        return True
+
+    def _accumulate(self, fid: int, r: KeyframeResult) -> None:
+        """Convert one keyframe's device outputs into problem entries."""
+        n = int(r.num_features)
+        feats = [
+            VisionFeature(i, r.pixels_undist[i].copy(), r.points3d[i].copy())
+            for i in range(n)
+        ]
+        # World pose relative to odometry start
+        # (reference: src/slam_frontend.cc:444-446).
+        q_init_inv = np_geom.quat_inverse(self._init_odom_q)
+        loc = np_geom.quat_rotate(q_init_inv, self._odom_t - self._init_odom_t)
+        angle = np_geom.quat_multiply(self._odom_q, q_init_inv)
+        self._nodes.append(
+            SLAMNode(
+                node_idx=fid,
+                timestamp=self._odom_timestamp,
+                pose=RobotPose(loc=loc.astype(np.float32), angle=angle.astype(np.float32)),
+                features=feats,
+            )
+        )
+        self._node_track_ids.append(np.asarray(r.track_id[:n]).copy())
+
+        # Vision factors: one per filled window slot, oldest first, even if
+        # empty (the reference's disabled min_vision_matches filter).
+        for w in range(self.config.frame_life):
+            past_id = int(r.window_frame_id[w])
+            if past_id < 0:
+                continue
+            m = np.asarray(r.window_matched[w])
+            qs = np.nonzero(m)[0]
+            matches = [
+                FeatureMatch(int(q), int(r.window_curr_idx[w][q])) for q in qs
+            ]
+            self._vision_factors.append(
+                VisionFactor(
+                    pose_idx_initial=past_id,
+                    pose_idx_current=fid,
+                    feature_matches=matches,
+                )
+            )
+
+        # Odometry factor between consecutive keyframes
+        # (reference: src/slam_frontend.cc:311-321 AddOdometryFactor).
+        if fid > 0:
+            q_prev_inv = np_geom.quat_inverse(self._prev_odom_q)
+            self._odometry_factors.append(
+                OdometryFactor(
+                    pose_i=fid - 1,
+                    pose_j=fid,
+                    translation=np_geom.quat_rotate(
+                        q_prev_inv, self._odom_t - self._prev_odom_t
+                    ).astype(np.float32),
+                    rotation=np_geom.quat_multiply(self._odom_q, q_prev_inv).astype(
+                        np.float32
+                    ),
+                )
+            )
+
+    # ------------------------------------------------------------------
+    # Output API
+    # ------------------------------------------------------------------
+
+    def get_slam_problem(self) -> SLAMProblem:
+        """(reference: src/slam_frontend.cc:498-503 GetSLAMProblem)"""
+        return SLAMProblem(
+            nodes=list(self._nodes),
+            vision_factors=list(self._vision_factors),
+            odometry_factors=list(self._odometry_factors),
+        )
+
+    def get_num_poses(self) -> int:
+        return len(self._nodes)
+
+    def get_config(self) -> FrontendConfig:
+        return self.config
+
+    @property
+    def node_track_ids(self) -> List[np.ndarray]:
+        """Per-node persistent track ids (framework extension for BA)."""
+        return self._node_track_ids
+
+    # Debug accessors (reference: getDebugImages / GetLastDebugImage etc.)
+
+    def get_debug_data(self) -> List[dict]:
+        return self._debug_data
+
+    def get_last_debug_data(self) -> Optional[dict]:
+        return self._debug_data[-1] if self._debug_data else None

@@ -1,0 +1,239 @@
+"""The jitted per-keyframe device step: the core of the frontend.
+
+TPU-native re-design of the reference's Frontend::ObserveImage pipeline
+(reference: src/slam_frontend.cc:400-472):
+
+  detect+describe (L, R) -> stereo ratio match -> adaptive epipolar filter
+  -> compact survivors -> temporal window match (one batched matmul over all
+  W past frames) -> triangulate -> undistort -> emit node features + factors.
+
+The whole step is ONE traced XLA program over fixed-capacity masked arrays;
+the host loop only gates on odometry and accumulates outputs. Differences
+from the reference, by design (see SURVEY.md "Reference quirks"):
+
+  - after the stereo filter both frames are compacted so row i of left/right
+    are the same stereo pair; triangulation uses those rows directly instead
+    of the reference's redundant re-match (fixing its index-misalignment bug,
+    src/slam_frontend.cc:436-442);
+  - triangulation runs on undistorted pixel pairs (the reference feeds raw
+    distorted pixels to cv::triangulatePoints);
+  - per-feature persistent track ids (oldest-match-wins) replace the
+    write-only is_initial_/initial_ids_ bookkeeping, giving the BA backend
+    real landmark tracks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from vision_slam_frontend_tpu.geometry.camera import (
+    epipolar_residual,
+    triangulate_points,
+    undistort_points,
+)
+from vision_slam_frontend_tpu.ops.brief import detect_and_describe
+from vision_slam_frontend_tpu.ops.hamming import match_window, ratio_test_match
+
+_LARGE = 1e9
+
+
+@struct.dataclass
+class StepParams:
+    """Traced parameters of the keyframe step (calibration + thresholds)."""
+
+    fundamental: Any  # (3, 3)
+    P_left: Any  # (3, 4)
+    P_right: Any  # (3, 4)
+    intr_left: Any  # Intrinsics pytree
+    intr_right: Any  # Intrinsics pytree
+    nn_match_ratio: Any  # scalar
+    best_percent: Any  # scalar
+    stereo_padding: Any  # scalar
+    fast_threshold: Any  # scalar
+
+    @classmethod
+    def from_config(cls, config) -> "StepParams":
+        return cls(
+            fundamental=jnp.asarray(config.fundamental),
+            P_left=jnp.asarray(config.P_left),
+            P_right=jnp.asarray(config.P_right),
+            intr_left=config.intrinsics_left,
+            intr_right=config.intrinsics_right,
+            nn_match_ratio=jnp.float32(config.nn_match_ratio),
+            best_percent=jnp.float32(config.best_percent),
+            stereo_padding=jnp.float32(config.stereo_threshold_padding),
+            fast_threshold=jnp.float32(config.fast_threshold),
+        )
+
+
+@struct.dataclass
+class WindowState:
+    """Device-resident sliding window of the last W keyframes.
+
+    Slot 0 is the oldest (matching the reference's frame_list_ ordering,
+    src/slam_frontend.cc:467-470). `stereo_threshold` is the adaptive
+    epipolar gate carried across keyframes (src/slam_frontend.cc:353,392-394).
+    """
+
+    kps: Any  # (W, K, 2) f32 raw pixel coords
+    desc: Any  # (W, K, 8) u32 packed descriptors
+    valid: Any  # (W, K) bool
+    track_id: Any  # (W, K) i32
+    frame_id: Any  # (W,) i32, -1 for empty slots
+    count: Any  # scalar i32: filled slots
+    stereo_threshold: Any  # scalar f32
+
+    @classmethod
+    def create(cls, window: int, capacity: int, stereo_threshold_init: float) -> "WindowState":
+        return cls(
+            kps=jnp.zeros((window, capacity, 2), jnp.float32),
+            desc=jnp.zeros((window, capacity, 8), jnp.uint32),
+            valid=jnp.zeros((window, capacity), bool),
+            track_id=jnp.zeros((window, capacity), jnp.int32),
+            frame_id=jnp.full((window,), -1, jnp.int32),
+            count=jnp.int32(0),
+            stereo_threshold=jnp.float32(stereo_threshold_init),
+        )
+
+
+@struct.dataclass
+class KeyframeResult:
+    """Per-keyframe outputs handed back to the host accumulator."""
+
+    pixels_undist: Any  # (K, 2) undistorted left pixels
+    pixels_raw: Any  # (K, 2)
+    points3d: Any  # (K, 3) left-camera-frame 3D points
+    feat_valid: Any  # (K,) bool — survivors are compacted to the front
+    track_id: Any  # (K,) i32 persistent landmark track ids
+    window_curr_idx: Any  # (W, K) i32: current-feature index matched by past feature q
+    window_match_dist: Any  # (W, K) f32
+    window_matched: Any  # (W, K) bool
+    window_frame_id: Any  # (W,) i32: pose id of each window slot (pre-update)
+    num_features: Any  # scalar i32
+    num_stereo_candidates: Any  # scalar i32 (ratio-test stereo matches)
+    stereo_threshold: Any  # scalar f32 (post-update, for observability)
+
+
+def _stable_partition(keep: jnp.ndarray) -> jnp.ndarray:
+    """Permutation putting kept indices first, original order preserved."""
+    return jnp.argsort(jnp.where(keep, 0, 1), stable=True)
+
+
+@partial(jax.jit, static_argnames=("capacity", "window", "border", "blur_sigma"), donate_argnums=(1,))
+def keyframe_step(
+    params: StepParams,
+    state: WindowState,
+    left_image: jnp.ndarray,
+    right_image: jnp.ndarray,
+    frame_id: jnp.ndarray,
+    capacity: int = 512,
+    window: int = 10,
+    border: int = 19,
+    blur_sigma: float = 2.0,
+):
+    """Process one stereo keyframe. Returns (new_state, KeyframeResult)."""
+    K = capacity
+    W = window
+
+    # --- 1. Feature extraction, both cameras (reference: ExtractFeatures x2).
+    l_kps, _, l_desc, l_valid = detect_and_describe(
+        left_image, threshold=params.fast_threshold, max_keypoints=K,
+        border=border, blur_sigma=blur_sigma,
+    )
+    r_kps, _, r_desc, r_valid = detect_and_describe(
+        right_image, threshold=params.fast_threshold, max_keypoints=K,
+        border=border, blur_sigma=blur_sigma,
+    )
+
+    # --- 2. Stereo ratio-test match, left queries vs right trains
+    # (reference: GetMatches(curr, right, nn_match_ratio), src/slam_frontend.cc:414-416).
+    r_idx, s_dist, s_matched = ratio_test_match(
+        l_desc, l_valid, r_desc, r_valid, params.nn_match_ratio
+    )
+
+    # --- 3. Adaptive epipolar gate (reference: RemoveAmbigStereo).
+    matched_r_kps = r_kps[r_idx]
+    res = epipolar_residual(params.fundamental, l_kps, matched_r_kps)
+    keep = s_matched & (res <= state.stereo_threshold)
+    n_cand = jnp.sum(s_matched.astype(jnp.int32))
+    avg = jnp.sum(jnp.where(s_matched, res, 0.0)) / jnp.maximum(n_cand, 1).astype(jnp.float32)
+    new_threshold = jnp.where(
+        n_cand > 0, avg + params.stereo_padding, state.stereo_threshold
+    )
+
+    # --- 4. Compact stereo survivors to the front (the reference rebuilds
+    # both Frames with survivors; masks + a stable partition do it with
+    # static shapes). Row i of (left, matched-right) is stereo pair i.
+    perm = _stable_partition(keep)
+    f_kps = l_kps[perm]
+    f_desc = l_desc[perm]
+    f_valid = keep[perm]
+    f_right_kps = matched_r_kps[perm]
+    num_features = jnp.sum(f_valid.astype(jnp.int32))
+
+    # --- 5. Temporal window matching: all W past frames vs current in one
+    # batched MXU contraction (reference: the GetFeatureMatches loop,
+    # src/slam_frontend.cc:424-434).
+    w_idx, w_dist, w_matched = match_window(
+        state.desc, state.valid, f_desc, f_valid,
+        params.nn_match_ratio, params.best_percent,
+    )
+
+    # --- 6. Track propagation (oldest-match-wins). Scatter priority:
+    # iterate newest -> oldest so the oldest slot's write lands last; within
+    # a slot, write descending-distance first so the best match lands last.
+    tid = frame_id * K + jnp.arange(K, dtype=jnp.int32)
+    for w in reversed(range(W)):
+        order = jnp.argsort(-w_dist[w])
+        tgt = jnp.where(w_matched[w][order], w_idx[w][order], K)  # K => dropped
+        tid = tid.at[tgt].set(state.track_id[w][order], mode="drop")
+
+    # --- 7. Triangulation on undistorted stereo pairs
+    # (reference: Calculate3DPoints via cv::triangulatePoints).
+    lu = undistort_points(params.intr_left, f_kps)
+    ru = undistort_points(params.intr_right, f_right_kps)
+    points3d = triangulate_points(params.P_left, params.P_right, lu, ru)
+    points3d = jnp.where(f_valid[:, None], points3d, 0.0)
+
+    # --- 8. Node features: undistorted left pixels
+    # (reference: UndistortFeaturePoints on the node's features).
+    pixels_undist = jnp.where(f_valid[:, None], lu, 0.0)
+
+    # --- 9. Window update: evict oldest iff full, append current.
+    full = state.count >= W
+    write_idx = jnp.minimum(state.count, W - 1)
+
+    def updated(buf, new_row):
+        rolled = jnp.where(full, jnp.roll(buf, -1, axis=0), buf)
+        return rolled.at[write_idx].set(new_row)
+
+    new_state = WindowState(
+        kps=updated(state.kps, f_kps),
+        desc=updated(state.desc, f_desc),
+        valid=updated(state.valid, f_valid),
+        track_id=updated(state.track_id, tid),
+        frame_id=updated(state.frame_id, frame_id),
+        count=jnp.minimum(state.count + 1, W),
+        stereo_threshold=new_threshold,
+    )
+
+    result = KeyframeResult(
+        pixels_undist=pixels_undist,
+        pixels_raw=jnp.where(f_valid[:, None], f_kps, 0.0),
+        points3d=points3d,
+        feat_valid=f_valid,
+        track_id=tid,
+        window_curr_idx=w_idx,
+        window_match_dist=w_dist,
+        window_matched=w_matched,
+        window_frame_id=state.frame_id,
+        num_features=num_features,
+        num_stereo_candidates=n_cand,
+        stereo_threshold=new_threshold,
+    )
+    return new_state, result

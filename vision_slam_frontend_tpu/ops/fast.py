@@ -130,8 +130,30 @@ def fast_detect(
     flat = score.reshape(-1)
     top_scores, top_idx = lax.top_k(flat, max_keypoints)
     valid = jnp.isfinite(top_scores)
-    kx = (top_idx % W).astype(jnp.float32)
-    ky = (top_idx // W).astype(jnp.float32)
+    kxi = top_idx % W
+    kyi = top_idx // W
+
+    # Sub-pixel refinement: 1-D quadratic fit on the raw score surface along
+    # each axis (the corner is a strict local max after NMS, so the fit is
+    # concave). Crucial for stereo accuracy: integer corners alone cost
+    # ~0.5 px of disparity = several % depth error at range.
+    raw = fast_scores(image)  # unsuppressed scores
+    raw = jnp.where(jnp.isfinite(raw), raw, 0.0)
+    rflat = raw.reshape(-1)
+
+    def axis_offset(idx_m, idx_p, idx_c):
+        s_m = rflat[idx_m]
+        s_p = rflat[idx_p]
+        s_c = rflat[idx_c]
+        denom = s_m - 2.0 * s_c + s_p
+        off = 0.5 * (s_m - s_p) / jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
+        return jnp.clip(jnp.where(jnp.abs(denom) < 1e-6, 0.0, off), -0.5, 0.5)
+
+    ic = kyi * W + kxi
+    dx = axis_offset(ic - 1, ic + 1, ic)
+    dy = axis_offset(ic - W, ic + W, ic)
+    kx = kxi.astype(jnp.float32) + dx
+    ky = kyi.astype(jnp.float32) + dy
     keypoints = jnp.where(valid[:, None], jnp.stack([kx, ky], axis=-1), 0.0)
     scores = jnp.where(valid, top_scores, 0.0)
     return keypoints, scores, valid
