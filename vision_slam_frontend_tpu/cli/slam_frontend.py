@@ -1,0 +1,235 @@
+"""slam_frontend CLI: process a dataset through the frontend, save the problem.
+
+The TPU-native equivalent of the reference driver binary
+(reference: src/slam_frontend_main.cc): same flag surface
+(--input/--output/--visualize/--save_debug/--odom_topic/--left_image_topic/
+--right_image_topic/--max_poses/-v) plus dataset-format selection (rosbag
+without a ROS install, KITTI, EuRoC, the synthetic fixture), npz + optional
+PLY outputs, and the reference's end-of-run summary line.
+
+Usage:
+  python -m vision_slam_frontend_tpu.cli.slam_frontend \
+      --input path/to.bag --output /tmp/problem.npz [--ply /tmp/map.ply]
+  python -m vision_slam_frontend_tpu.cli.slam_frontend \
+      --input synthetic:20 --output /tmp/problem.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import Iterator, Tuple
+
+import numpy as np
+
+Event = Tuple[str, float, tuple]  # (kind, timestamp, payload)
+
+
+def iter_synthetic(spec: str) -> Iterator[Event]:
+    """`synthetic[:N[:step]]` — the checked-in synthetic stereo world."""
+    from vision_slam_frontend_tpu.io.synthetic import SyntheticRig, generate_sequence
+
+    parts = spec.split(":")
+    n = int(parts[1]) if len(parts) > 1 else 20
+    step = float(parts[2]) if len(parts) > 2 else 0.25
+    rig = SyntheticRig()
+    for f in generate_sequence(num_frames=n, step=step, rig=rig):
+        yield ("odometry", f.timestamp, (f.odom_translation, f.odom_rotation))
+        yield ("stereo", f.timestamp, (f.left, f.right))
+
+
+def iter_bag(path: str, left_topic: str, right_topic: str, odom_topic: str, verbosity: int) -> Iterator[Event]:
+    """ROS1 bag streaming via the built-in pure-Python reader (no ROS)."""
+    from vision_slam_frontend_tpu.io import rosbag
+    from vision_slam_frontend_tpu.io.image import decode_compressed_image
+
+    pending_left = None  # (t_ns, image_msg)
+    for topic, t_ns, msg in rosbag.read_messages(
+        path, topics=[left_topic, right_topic, odom_topic]
+    ):
+        if topic == odom_topic:
+            if verbosity > 1:
+                print(f"Odometry t={t_ns * 1e-9:.6f}")
+            yield ("odometry", t_ns * 1e-9, (msg["position"], msg["orientation_wxyz"]))
+        elif topic == left_topic:
+            pending_left = (msg["stamp_ns"], msg)
+        elif topic == right_topic:
+            # Pair strictly by equal timestamps, like the reference's CHECK
+            # (src/slam_frontend_main.cc:290-291) but tolerant: skip unpaired.
+            if pending_left is None or pending_left[0] != msg["stamp_ns"]:
+                continue
+            t = msg["stamp_ns"] * 1e-9
+            if verbosity > 1:
+                print(f"CompressedImage t={t:.6f}")
+            left = decode_compressed_image(pending_left[1])
+            right = decode_compressed_image(msg)
+            pending_left = None
+            yield ("stereo", t, (left, right))
+
+
+def iter_kitti(path: str, sequence: str | None) -> Iterator[Event]:
+    from vision_slam_frontend_tpu.io.kitti import iter_kitti_events
+
+    yield from iter_kitti_events(path, sequence)
+
+
+def iter_euroc(path: str) -> Iterator[Event]:
+    from vision_slam_frontend_tpu.io.euroc import iter_euroc_events
+
+    yield from iter_euroc_events(path)
+
+
+def detect_dataset(input_spec: str) -> str:
+    import os
+
+    if input_spec.startswith("synthetic"):
+        return "synthetic"
+    if input_spec.endswith(".bag"):
+        return "bag"
+    if os.path.isdir(input_spec):
+        if os.path.isdir(os.path.join(input_spec, "mav0")):
+            return "euroc"
+        if os.path.isdir(os.path.join(input_spec, "image_0")) or os.path.isdir(
+            os.path.join(input_spec, "image_00")
+        ):
+            return "kitti"
+    raise ValueError(f"Cannot auto-detect dataset type of {input_spec!r}; pass --dataset")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="slam_frontend", description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
+    )
+    # Reference flag surface (src/slam_frontend_main.cc:81-96).
+    p.add_argument("--input", required=True, help="bag file / dataset dir / synthetic[:N]")
+    p.add_argument("--output", required=True, help="output SLAM problem (.npz)")
+    p.add_argument("--visualize", action="store_true", help="kept for parity; headless env ignores")
+    p.add_argument("--save_debug", action="store_true", help="save debug match/stereo images next to output")
+    p.add_argument("--left_image_topic", default="/stereo/left/image_raw/compressed")
+    p.add_argument("--right_image_topic", default="/stereo/right/image_raw/compressed")
+    p.add_argument("--odom_topic", default="/odometry/filtered")
+    p.add_argument("--max_poses", type=int, default=0, help="stop after this many SLAM poses (0 = all)")
+    p.add_argument("-v", "--verbosity", type=int, default=0)
+    # Framework extensions.
+    p.add_argument("--dataset", choices=["auto", "bag", "kitti", "euroc", "synthetic"], default="auto")
+    p.add_argument("--sequence", default=None, help="KITTI sequence id (e.g. 00)")
+    p.add_argument("--config", default=None, help="YAML config/calibration path")
+    p.add_argument("--ply", default=None, help="also export pose-graph + landmark PLY here")
+    p.add_argument("--max_features", type=int, default=None, help="override feature capacity K")
+    p.add_argument("--frame_life", type=int, default=None, help="override temporal window W")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from vision_slam_frontend_tpu.frontend import Frontend, FrontendConfig
+    from vision_slam_frontend_tpu.io.serialize import save_problem
+
+    dataset = args.dataset if args.dataset != "auto" else detect_dataset(args.input)
+
+    overrides = {}
+    if args.max_features is not None:
+        overrides["max_features"] = args.max_features
+    if args.frame_life is not None:
+        overrides["frame_life"] = args.frame_life
+    if args.save_debug:
+        overrides["debug_images"] = True
+    if args.config:
+        config = FrontendConfig.load(args.config)
+        for k, v in overrides.items():
+            setattr(config, k, v)
+    elif dataset == "synthetic":
+        from vision_slam_frontend_tpu.io.synthetic import SyntheticRig
+
+        config = FrontendConfig(calib=SyntheticRig().calib(), fast_threshold=12.0, **overrides)
+    elif dataset == "kitti":
+        from vision_slam_frontend_tpu.io.kitti import kitti_calib
+
+        config = FrontendConfig(calib=kitti_calib(args.input, args.sequence), **overrides)
+    elif dataset == "euroc":
+        from vision_slam_frontend_tpu.io.euroc import euroc_calib
+
+        config = FrontendConfig(calib=euroc_calib(args.input), **overrides)
+    else:
+        config = FrontendConfig(**overrides)
+
+    if dataset == "synthetic":
+        events = iter_synthetic(args.input)
+    elif dataset == "bag":
+        events = iter_bag(
+            args.input, args.left_image_topic, args.right_image_topic,
+            args.odom_topic, args.verbosity,
+        )
+    elif dataset == "kitti":
+        events = iter_kitti(args.input, args.sequence)
+    else:
+        events = iter_euroc(args.input)
+
+    frontend = Frontend(config)
+    print(f"Processing {args.input}")
+    t_start = time.perf_counter()
+    frames_seen = 0
+    try:
+        events = iter(events)
+        first = next(events, None)
+    except (FileNotFoundError, ValueError) as e:
+        # Clean failure like the reference's bag-open error path
+        # (src/slam_frontend_main.cc:241-243).
+        print(f"Unable to read {args.input}, reason:\n {e}")
+        return 1
+    if first is None:
+        print(f"Unable to read {args.input}, reason:\n no events found")
+        return 1
+    import itertools
+
+    for kind, t, payload in itertools.chain([first], events):
+        if kind == "odometry":
+            translation, rotation = payload
+            frontend.observe_odometry(translation, rotation, t)
+        else:
+            left, right = payload
+            frames_seen += 1
+            frontend.observe_image(left, right, t)
+            if args.max_poses > 0 and frontend.get_num_poses() >= args.max_poses:
+                break
+    elapsed = time.perf_counter() - t_start
+    print("Done processing bag file." if dataset == "bag" else "Done processing input.")
+
+    problem = frontend.get_slam_problem()
+    save_problem(args.output, problem, config=config, node_track_ids=frontend.node_track_ids)
+    # The reference's exact summary line (src/slam_frontend_main.cc:375-381).
+    print(problem.summary())
+    n_poses = frontend.get_num_poses()
+    print(
+        f"[perf] {frames_seen} stereo frames, {n_poses} keyframes in {elapsed:.2f}s "
+        f"({frames_seen / max(elapsed, 1e-9):.1f} frames/s, "
+        f"{n_poses / max(elapsed, 1e-9):.1f} keyframes/s)"
+    )
+
+    if args.ply:
+        from vision_slam_frontend_tpu.viz.ply import export_ply
+
+        stats = export_ply(args.ply, problem, config.left_cam_to_robot)
+        print(f"Wrote {args.ply}: {stats}")
+
+    if args.save_debug:
+        import os
+
+        from PIL import Image
+
+        from vision_slam_frontend_tpu.viz.debug_images import debug_images_from_frontend
+
+        match_images, stereo_images = debug_images_from_frontend(frontend)
+        base = os.path.splitext(args.output)[0]
+        os.makedirs(base + "_debug", exist_ok=True)
+        for i, im in enumerate(match_images):
+            Image.fromarray(im).save(f"{base}_debug/match_{i:05d}.png")
+        for i, im in enumerate(stereo_images):
+            Image.fromarray(im).save(f"{base}_debug/stereo_{i:05d}.png")
+        print(f"Saved {len(match_images)} match + {len(stereo_images)} stereo debug images to {base}_debug/")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -107,6 +107,7 @@ class KeyframeResult:
 
     pixels_undist: Any  # (K, 2) undistorted left pixels
     pixels_raw: Any  # (K, 2)
+    right_pixels_raw: Any  # (K, 2) matched right-camera pixel per stereo pair
     points3d: Any  # (K, 3) left-camera-frame 3D points
     feat_valid: Any  # (K,) bool — survivors are compacted to the front
     track_id: Any  # (K,) i32 persistent landmark track ids
@@ -225,6 +226,7 @@ def keyframe_step(
     result = KeyframeResult(
         pixels_undist=pixels_undist,
         pixels_raw=jnp.where(f_valid[:, None], f_kps, 0.0),
+        right_pixels_raw=jnp.where(f_valid[:, None], f_right_kps, 0.0),
         points3d=points3d,
         feat_valid=f_valid,
         track_id=tid,
