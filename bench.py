@@ -1,0 +1,82 @@
+"""Benchmark: stereo frontend throughput per chip (detect + match + triangulate).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the real-time target of 30 fps/chip for the full stereo keyframe
+step (BASELINE.md north star; the C++ reference publishes no numbers).
+
+Measures the flagship configuration (K=512 features, W=10 window, 640x480)
+on the default backend (the TPU chip under the driver), timing steady-state
+keyframe steps including host->device image transfer, excluding compile.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from vision_slam_frontend_tpu.frontend.config import FrontendConfig
+    from vision_slam_frontend_tpu.frontend.keyframe import (
+        StepParams,
+        WindowState,
+        keyframe_step,
+    )
+    from vision_slam_frontend_tpu.io.synthetic import SyntheticRig, generate_sequence
+
+    capacity, window = 512, 10
+    rig = SyntheticRig()
+    config = FrontendConfig(
+        calib=rig.calib(), max_features=capacity, frame_life=window,
+        fast_threshold=12.0,
+    )
+    params = StepParams.from_config(config)
+    state = WindowState.create(window, capacity, config.stereo_threshold_init)
+
+    frames = list(generate_sequence(num_frames=6, step=0.25, rig=rig))
+    images = [(np.asarray(f.left, np.float32), np.asarray(f.right, np.float32)) for f in frames]
+
+    def step(state, left, right, fid):
+        return keyframe_step(
+            params, state, left, right, fid,
+            capacity=capacity, window=window,
+            border=config.detect_border, blur_sigma=config.blur_sigma,
+        )
+
+    # Warmup / compile.
+    fid = 0
+    for left, right in images[:3]:
+        state, result = step(state, jnp.asarray(left), jnp.asarray(right), jnp.int32(fid))
+        fid += 1
+    jax.block_until_ready(result)
+
+    # Timed steady-state loop (cycle distinct frames to defeat caching).
+    n_iters = 30
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        left, right = images[3 + (i % 3)]
+        state, result = step(state, jnp.asarray(left), jnp.asarray(right), jnp.int32(fid))
+        fid += 1
+    jax.block_until_ready(result)
+    elapsed = time.perf_counter() - t0
+
+    fps = n_iters / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "stereo_frontend_fps_per_chip",
+                "value": round(fps, 2),
+                "unit": "keyframes/s (K=512, W=10, 640x480)",
+                "vs_baseline": round(fps / 30.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
