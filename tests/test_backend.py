@@ -1,0 +1,211 @@
+"""BA backend tests: synthetic convergence, robustness, track building, metrics."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vision_slam_frontend_tpu.backend import (
+    BASolverConfig,
+    ate_rmse,
+    build_ba_problem,
+    optimize,
+    rpe_rmse,
+)
+from vision_slam_frontend_tpu.backend.residuals import CameraParams, reproject_residual
+from vision_slam_frontend_tpu.types.slam_types import BAProblem
+from vision_slam_frontend_tpu.utils import np_geom
+
+
+def make_cam():
+    return CameraParams(
+        fx=jnp.float32(500.0), fy=jnp.float32(500.0),
+        cx=jnp.float32(320.0), cy=jnp.float32(240.0),
+        R_cr=jnp.eye(3), t_cr=jnp.zeros(3),
+    )
+
+
+def synthetic_ba(
+    P=8, L=120, obs_per_lm=4, pose_noise=0.0, lm_noise=0.0, px_noise=0.0,
+    outlier_frac=0.0, seed=0,
+):
+    """Ground-truth world + noisy initialization, returns (problem, gt_t, gt_lm)."""
+    rng = np.random.default_rng(seed)
+    cam = make_cam()
+    # GT trajectory: forward motion with slight yaw.
+    gt_t = np.stack([np.array([0.02 * k, 0.0, 0.3 * k]) for k in range(P)])
+    gt_q = np.stack(
+        [np.array([np.cos(0.01 * k), 0, np.sin(0.01 * k), 0]) for k in range(P)]
+    )
+    # GT landmarks in front of the trajectory.
+    gt_lm = np.stack(
+        [
+            rng.uniform(-3, 3, L),
+            rng.uniform(-2, 2, L),
+            rng.uniform(2, 14, L) + 0.15 * np.arange(L) % 5,
+        ],
+        axis=-1,
+    )
+
+    obs_pose, obs_lm, obs_px = [], [], []
+    for j in range(L):
+        sees = rng.choice(P, size=min(obs_per_lm, P), replace=False)
+        for i in sees:
+            # Project GT landmark into GT pose i.
+            q_inv = np_geom.quat_inverse(gt_q[i])
+            p_cam = np_geom.quat_rotate(q_inv, gt_lm[j] - gt_t[i])
+            if p_cam[2] < 0.5:
+                continue
+            u = 500.0 * p_cam[0] / p_cam[2] + 320.0
+            v = 500.0 * p_cam[1] / p_cam[2] + 240.0
+            if not (0 <= u < 640 and 0 <= v < 480):
+                continue
+            px = np.array([u, v]) + rng.normal(0, px_noise, 2)
+            if outlier_frac > 0 and rng.random() < outlier_frac:
+                px = rng.uniform([0, 0], [640, 480])
+            obs_pose.append(i)
+            obs_lm.append(j)
+            obs_px.append(px)
+
+    N = len(obs_pose)
+    # Noisy initialization.
+    init_t = gt_t + rng.normal(0, pose_noise, gt_t.shape)
+    init_t[0] = gt_t[0]  # gauge
+    init_q = []
+    for k in range(P):
+        dq = np_geom.quat_normalize(
+            np.concatenate([[1.0], rng.normal(0, pose_noise * 0.5, 3)])
+        )
+        init_q.append(np_geom.quat_multiply(gt_q[k], dq) if k > 0 else gt_q[k])
+    init_q = np.stack(init_q)
+    init_lm = gt_lm + rng.normal(0, lm_noise, gt_lm.shape)
+
+    # Odometry factors from GT relative poses.
+    oi, oj, ot, oq = [], [], [], []
+    for k in range(P - 1):
+        qi_inv = np_geom.quat_inverse(gt_q[k])
+        oi.append(k)
+        oj.append(k + 1)
+        ot.append(np_geom.quat_rotate(qi_inv, gt_t[k + 1] - gt_t[k]))
+        oq.append(np_geom.quat_multiply(qi_inv, gt_q[k + 1]))
+
+    problem = BAProblem(
+        poses_t=jnp.asarray(init_t, jnp.float32),
+        poses_q=jnp.asarray(init_q, jnp.float32),
+        pose_mask=jnp.ones(P, bool),
+        landmarks=jnp.asarray(init_lm, jnp.float32),
+        landmark_mask=jnp.ones(L, bool),
+        obs_pose=jnp.asarray(obs_pose, jnp.int32),
+        obs_landmark=jnp.asarray(obs_lm, jnp.int32),
+        obs_pixel=jnp.asarray(np.stack(obs_px), jnp.float32),
+        obs_mask=jnp.ones(N, bool),
+        odom_i=jnp.asarray(oi, jnp.int32),
+        odom_j=jnp.asarray(oj, jnp.int32),
+        odom_t=jnp.asarray(np.stack(ot), jnp.float32),
+        odom_q=jnp.asarray(np.stack(oq), jnp.float32),
+        odom_mask=jnp.ones(P - 1, bool),
+    )
+    return cam, problem, gt_t, gt_lm
+
+
+class TestResiduals:
+    def test_perfect_projection_zero_residual(self):
+        cam = make_cam()
+        t = jnp.array([1.0, 0.5, -0.2])
+        q = jnp.array([0.9, 0.1, -0.2, 0.3])
+        q = q / jnp.linalg.norm(q)
+        lm_cam = jnp.array([0.5, -0.3, 4.0])
+        # World landmark from camera point.
+        lm_world = jnp.asarray(
+            np_geom.quat_rotate(np.asarray(q), np.asarray(lm_cam))
+        ) + t
+        px = jnp.array(
+            [500.0 * 0.5 / 4.0 + 320.0, 500.0 * (-0.3) / 4.0 + 240.0]
+        )
+        r = reproject_residual(cam, t, q, lm_world, px)
+        np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-3)
+
+
+class TestBA:
+    def test_zero_noise_stays(self):
+        cam, problem, gt_t, gt_lm = synthetic_ba()
+        opt, info = optimize(problem, cam=cam, solver=BASolverConfig(max_iterations=3))
+        assert info["cost"] < 1e-2
+
+    def test_landmark_noise_converges(self):
+        cam, problem, gt_t, gt_lm = synthetic_ba(lm_noise=0.3, seed=1)
+        opt, info = optimize(problem, cam=cam)
+        lm_err = np.linalg.norm(np.asarray(opt.landmarks) - gt_lm, axis=-1)
+        assert np.median(lm_err) < 0.02, f"median landmark error {np.median(lm_err):.3f}"
+        # fp32 floor: ~0.01 px RMS residual over a few hundred observations.
+        assert info["cost"] < 0.05
+
+    def test_pose_and_landmark_noise_converges(self):
+        cam, problem, gt_t, gt_lm = synthetic_ba(
+            pose_noise=0.08, lm_noise=0.3, px_noise=0.3, seed=2
+        )
+        ate_before = ate_rmse(np.asarray(problem.poses_t), gt_t, align=False)
+        opt, info = optimize(problem, cam=cam)
+        ate_after = ate_rmse(np.asarray(opt.poses_t), gt_t, align=False)
+        assert ate_after < 0.25 * ate_before, (
+            f"BA did not improve trajectory: {ate_before:.4f} -> {ate_after:.4f}"
+        )
+        assert ate_after < 0.02
+
+    def test_huber_rejects_outliers(self):
+        cam, problem, gt_t, gt_lm = synthetic_ba(
+            pose_noise=0.05, lm_noise=0.2, px_noise=0.3, outlier_frac=0.1, seed=3
+        )
+        opt, info = optimize(
+            problem, cam=cam,
+            solver=BASolverConfig(huber_delta=3.0, trim_threshold=10.0),
+        )
+        ate = ate_rmse(np.asarray(opt.poses_t), gt_t, align=False)
+        assert info["trimmed"] > 10  # the injected outliers got dropped
+        assert ate < 0.05, f"ATE with outliers: {ate:.4f}"
+
+    def test_cost_monotone_accepts(self):
+        cam, problem, *_ = synthetic_ba(pose_noise=0.05, lm_noise=0.2, seed=4)
+        opt, info = optimize(problem, cam=cam)
+        h = info["history"]
+        assert h[-1] <= h[0]
+        assert info["accepted"] >= 1
+
+
+class TestTracks:
+    def test_build_from_frontend_problem(self):
+        from tests.test_io import make_problem
+
+        problem = make_problem()
+        ba = build_ba_problem(problem, min_track_length=2, pad_to_multiple=4)
+        n_obs = int(np.sum(np.asarray(ba.obs_mask)))
+        assert n_obs >= 4  # two matches chain 2 obs each
+        assert int(np.sum(np.asarray(ba.landmark_mask))) >= 2
+        op = np.asarray(ba.obs_pose)[np.asarray(ba.obs_mask)]
+        assert op.max() < len(problem.nodes)
+        assert int(np.sum(np.asarray(ba.odom_mask))) == 2
+
+    def test_min_track_length_filters(self):
+        from tests.test_io import make_problem
+
+        problem = make_problem()
+        ba2 = build_ba_problem(problem, min_track_length=2, pad_to_multiple=4)
+        ba3 = build_ba_problem(problem, min_track_length=3, pad_to_multiple=4)
+        assert int(np.sum(np.asarray(ba3.landmark_mask))) <= int(
+            np.sum(np.asarray(ba2.landmark_mask))
+        )
+
+
+class TestMetrics:
+    def test_ate_alignment_invariance(self):
+        rng = np.random.default_rng(5)
+        gt = rng.normal(size=(20, 3))
+        # Rigidly transform the trajectory; aligned ATE must be ~0.
+        q = np_geom.quat_normalize(np.array([0.9, 0.1, 0.2, -0.3]))
+        est = np.stack([np_geom.quat_rotate(q, p) for p in gt]) + np.array([5.0, -2.0, 1.0])
+        assert ate_rmse(est, gt, align=True) < 1e-6
+        assert ate_rmse(est, gt, align=False) > 1.0
+
+    def test_rpe(self):
+        gt = np.cumsum(np.ones((10, 3)) * 0.1, axis=0)
+        est = gt + np.random.default_rng(6).normal(0, 0.01, gt.shape)
+        assert rpe_rmse(est, gt) < 0.05

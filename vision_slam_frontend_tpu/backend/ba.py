@@ -1,0 +1,359 @@
+"""Levenberg-Marquardt bundle adjustment with matrix-free Schur-complement PCG.
+
+The solver the reference hands its SLAMProblem to (closed-source there;
+reference: README.md:3, src/slam_frontend.cc:498-503). TPU-first design:
+
+  - landmark blocks V_j (3x3) are eliminated EXACTLY per landmark (batched
+    closed-form inverses) — the classic Schur complement;
+  - the reduced camera system S = U - W V^{-1} W^T is never materialized:
+    PCG applies S with per-observation batched products + segment-sums
+    (scatter-adds), which is exactly the form that shards across a device
+    mesh (observations sharded, psum-reduced — see parallel/sharded_ba.py);
+  - block-Jacobi preconditioner from the U diagonal (batched 6x6 solves);
+  - gauge fixed by freezing pose 0; LM damping with accept/reject on the
+    true cost.
+
+Everything per-iteration is one jitted program; the LM loop is a thin host
+loop (a handful of iterations).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vision_slam_frontend_tpu.backend.residuals import (
+    CameraParams,
+    huber_weights,
+    linearize_odometry,
+    linearize_reprojection,
+    _apply_pose_delta,
+)
+from vision_slam_frontend_tpu.geometry.rotation import quat_normalize
+from vision_slam_frontend_tpu.types.slam_types import BAProblem
+
+
+@dataclasses.dataclass
+class BASolverConfig:
+    max_iterations: int = 15
+    cg_iterations: int = 64
+    cg_tol: float = 1e-8
+    init_lambda: float = 1e-3
+    lambda_up: float = 4.0
+    lambda_down: float = 0.4
+    huber_delta: float = 4.0  # pixels; <= 0 disables
+    odom_t_weight: float = 30.0  # 1/sigma: ~3 cm translation noise
+    odom_r_weight: float = 60.0  # ~1 deg rotation noise
+    fix_first_pose: bool = True
+    # Outlier trimming: after each LM convergence, drop observations whose
+    # reprojection residual exceeds this (pixels) and re-optimize. Huber
+    # bounds outlier *influence*; trimming removes their cost floor entirely.
+    trim_threshold: float = 0.0  # <= 0 disables
+    trim_rounds: int = 2
+
+
+def _segsum(data, ids, num):
+    return jax.ops.segment_sum(data, ids, num_segments=num)
+
+
+def _sym3_inv(M):
+    """Batched closed-form inverse of symmetric 3x3 blocks (adjugate)."""
+    m00, m01, m02 = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    m11, m12, m22 = M[..., 1, 1], M[..., 1, 2], M[..., 2, 2]
+    c00 = m11 * m22 - m12 * m12
+    c01 = m02 * m12 - m01 * m22
+    c02 = m01 * m12 - m02 * m11
+    c11 = m00 * m22 - m02 * m02
+    c12 = m01 * m02 - m00 * m12
+    c22 = m00 * m11 - m01 * m01
+    det = m00 * c00 + m01 * c01 + m02 * c02
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    inv = jnp.stack(
+        [
+            jnp.stack([c00, c01, c02], -1),
+            jnp.stack([c01, c11, c12], -1),
+            jnp.stack([c02, c12, c22], -1),
+        ],
+        -2,
+    )
+    return inv / det[..., None, None]
+
+
+@partial(jax.jit, static_argnames=("cfg_huber_enabled",))
+def _linearize(cam, problem: BAProblem, huber_delta, odom_t_weight, odom_r_weight, cfg_huber_enabled: bool):
+    """Residuals + Jacobians for all factors, with IRLS robust weights."""
+    r, Jp, Jl = linearize_reprojection(
+        cam, problem.poses_t, problem.poses_q, problem.landmarks,
+        problem.obs_pose, problem.obs_landmark, problem.obs_pixel, problem.obs_mask,
+    )
+    if cfg_huber_enabled:
+        w = huber_weights(r, huber_delta)[:, None]
+        r = r * w
+        Jp = Jp * w[..., None]
+        Jl = Jl * w[..., None]
+    ro, Ji, Jj = linearize_odometry(
+        problem.poses_t, problem.poses_q, problem.odom_i, problem.odom_j,
+        problem.odom_t, problem.odom_q, problem.odom_mask,
+        odom_t_weight, odom_r_weight,
+    )
+    return r, Jp, Jl, ro, Ji, Jj
+
+
+@partial(jax.jit, static_argnames=("cfg_huber_enabled",))
+def compute_cost(cam, problem: BAProblem, huber_delta, odom_t_weight, odom_r_weight, cfg_huber_enabled: bool):
+    """True robustified cost (not the IRLS quadratic)."""
+    from vision_slam_frontend_tpu.backend.residuals import (
+        linearize_odometry as _lo,
+        linearize_reprojection as _lr,
+    )
+
+    r, _, _ = _lr(
+        cam, problem.poses_t, problem.poses_q, problem.landmarks,
+        problem.obs_pose, problem.obs_landmark, problem.obs_pixel, problem.obs_mask,
+    )
+    if cfg_huber_enabled:
+        norm = jnp.linalg.norm(r, axis=-1)
+        d = huber_delta
+        rho = jnp.where(norm <= d, 0.5 * norm**2, d * (norm - 0.5 * d))
+        reproj_cost = jnp.sum(rho * problem.obs_mask)
+    else:
+        reproj_cost = 0.5 * jnp.sum(r * r)
+    ro, _, _ = _lo(
+        problem.poses_t, problem.poses_q, problem.odom_i, problem.odom_j,
+        problem.odom_t, problem.odom_q, problem.odom_mask,
+        odom_t_weight, odom_r_weight,
+    )
+    return reproj_cost + 0.5 * jnp.sum(ro * ro)
+
+
+@partial(jax.jit, static_argnames=("cg_iters", "fix_first"))
+def _solve_schur_pcg(
+    r, Jp, Jl, ro, Ji, Jj, problem: BAProblem, lm_damping, cg_iters: int, fix_first: bool,
+):
+    """One damped GN step: Schur-eliminate landmarks, PCG the camera system,
+    back-substitute landmarks. Returns (d_pose (P,6), d_lm (L,3), cg_resnorm)."""
+    P = problem.poses_t.shape[0]
+    L = problem.landmarks.shape[0]
+    op = problem.obs_pose
+    ol = problem.obs_landmark
+
+    # --- Landmark blocks and their exact elimination.
+    V = _segsum(jnp.einsum("nij,nik->njk", Jl, Jl), ol, L)  # (L, 3, 3)
+    V = V + lm_damping * jnp.eye(3)[None]
+    V_inv = _sym3_inv(V)
+
+    # --- Gradients (RHS of the normal equations): g = -J^T r.
+    g_pose = -_segsum(jnp.einsum("nij,ni->nj", Jp, r), op, P)
+    g_pose += -_segsum(jnp.einsum("qij,qi->qj", Ji, ro), problem.odom_i, P)
+    g_pose += -_segsum(jnp.einsum("qij,qi->qj", Jj, ro), problem.odom_j, P)
+    g_lm = -_segsum(jnp.einsum("nij,ni->nj", Jl, r), ol, L)
+
+    def gauge(x):
+        return x.at[0].set(0.0) if fix_first else x
+
+    # --- Reduced RHS: b = g_pose - W V^{-1} g_lm, with W s applied
+    # per-observation as Jp^T (Jl s).
+    s = jnp.einsum("ljk,lk->lj", V_inv, g_lm)  # (L, 3)
+    Jls = jnp.einsum("nij,nj->ni", Jl, s[ol])  # (N, 2)
+    b = gauge(g_pose - _segsum(jnp.einsum("nij,ni->nj", Jp, Jls), op, P))
+
+    # --- Block-Jacobi preconditioner from the U diagonal.
+    U_diag = _segsum(jnp.einsum("nij,nik->njk", Jp, Jp), op, P)
+    U_diag += _segsum(jnp.einsum("qij,qik->qjk", Ji, Ji), problem.odom_i, P)
+    U_diag += _segsum(jnp.einsum("qij,qik->qjk", Jj, Jj), problem.odom_j, P)
+    U_diag += lm_damping * jnp.eye(6)[None]
+    M_inv = jnp.linalg.inv(U_diag)  # (P, 6, 6) batched small inverses
+
+    def S_apply(x):  # x: (P, 6)
+        x = gauge(x)
+        # U x: reprojection part...
+        y = jnp.einsum("nij,nj->ni", Jp, x[op])  # (N, 2)
+        u = _segsum(jnp.einsum("nij,ni->nj", Jp, y), op, P)
+        # ... odometry part (couples pose pairs):
+        yo = jnp.einsum("qij,qj->qi", Ji, x[problem.odom_i]) + jnp.einsum(
+            "qij,qj->qi", Jj, x[problem.odom_j]
+        )  # (Q, 6)
+        u += _segsum(jnp.einsum("qij,qi->qj", Ji, yo), problem.odom_i, P)
+        u += _segsum(jnp.einsum("qij,qi->qj", Jj, yo), problem.odom_j, P)
+        u += lm_damping * x
+        # - W V^{-1} W^T x:
+        t = _segsum(jnp.einsum("nij,ni->nj", Jl, y), ol, L)  # (L, 3)
+        st = jnp.einsum("ljk,lk->lj", V_inv, t)
+        Jlst = jnp.einsum("nij,nj->ni", Jl, st[ol])  # (N, 2)
+        z = _segsum(jnp.einsum("nij,ni->nj", Jp, Jlst), op, P)
+        return gauge(u - z)
+
+    def M_apply(x):
+        return gauge(jnp.einsum("pij,pj->pi", M_inv, x))
+
+    # --- PCG.
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = M_apply(r0)
+    p0 = z0
+
+    def cg_body(_, carry):
+        x, rr, z, p, rz = carry
+        Sp = S_apply(p)
+        denom = jnp.sum(p * Sp)
+        alpha = jnp.where(jnp.abs(denom) > 1e-20, rz / denom, 0.0)
+        x = x + alpha * p
+        rr2 = rr - alpha * Sp
+        z2 = M_apply(rr2)
+        rz2 = jnp.sum(rr2 * z2)
+        beta = jnp.where(jnp.abs(rz) > 1e-20, rz2 / rz, 0.0)
+        p2 = z2 + beta * p
+        return x, rr2, z2, p2, rz2
+
+    init = (x0, r0, z0, p0, jnp.sum(r0 * z0))
+    x, rr, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body, init)
+    d_pose = x
+
+    # --- Landmark back-substitution: d_lm = V^{-1}(g_lm - W^T d_pose).
+    y = jnp.einsum("nij,nj->ni", Jp, d_pose[op])  # (N, 2)
+    wtd = _segsum(jnp.einsum("nij,ni->nj", Jl, y), ol, L)
+    d_lm = jnp.einsum("ljk,lk->lj", V_inv, g_lm - wtd)
+
+    return d_pose, d_lm, jnp.linalg.norm(rr)
+
+
+@jax.jit
+def _apply_step(problem: BAProblem, d_pose, d_lm):
+    t2, q2 = jax.vmap(_apply_pose_delta)(problem.poses_t, problem.poses_q, d_pose)
+    return problem.replace(
+        poses_t=t2,
+        poses_q=quat_normalize(q2),
+        landmarks=problem.landmarks + d_lm,
+    )
+
+
+@jax.jit
+def _reproj_residual_norms(cam, problem: BAProblem):
+    from vision_slam_frontend_tpu.backend.residuals import linearize_reprojection as _lr
+
+    r, _, _ = _lr(
+        cam, problem.poses_t, problem.poses_q, problem.landmarks,
+        problem.obs_pose, problem.obs_landmark, problem.obs_pixel, problem.obs_mask,
+    )
+    return jnp.linalg.norm(r, axis=-1)
+
+
+def optimize(
+    problem: BAProblem,
+    config=None,
+    solver: BASolverConfig | None = None,
+    cam: CameraParams | None = None,
+    verbose: bool = False,
+):
+    """Run LM to convergence (with optional outlier-trimming rounds).
+
+    Returns (optimized BAProblem, info dict)."""
+    solver = solver or BASolverConfig()
+    if cam is None:
+        if config is None:
+            raise ValueError("need a FrontendConfig or CameraParams")
+        cam = CameraParams.from_config(config)
+
+    rounds = 1 + (solver.trim_rounds if solver.trim_threshold > 0 else 0)
+    total_info = None
+    n_trimmed_total = 0
+    if solver.trim_threshold > 0:
+        # Pre-trim at the INITIAL estimate: gross outliers are orders of
+        # magnitude above the inlier residual scale before any optimization
+        # pulls the estimate toward them, so a loose gate (10x the final
+        # threshold) removes them where they are easiest to identify.
+        norms = _reproj_residual_norms(cam, problem)
+        pre_mask = problem.obs_mask & (norms < 10.0 * solver.trim_threshold)
+        n_pre = int(jnp.sum(problem.obs_mask) - jnp.sum(pre_mask))
+        if verbose and n_pre:
+            print(f"[BA] pre-trim @ {10.0 * solver.trim_threshold:.0f}px: removed {n_pre} observations")
+        n_trimmed_total += n_pre
+        problem = problem.replace(obs_mask=pre_mask)
+    for rnd in range(rounds):
+        problem, info = _optimize_round(problem, solver, cam, verbose)
+        if total_info is None:
+            total_info = info
+        else:
+            total_info = {
+                "cost": info["cost"],
+                "history": total_info["history"] + info["history"],
+                "iterations": total_info["iterations"] + info["iterations"],
+                "accepted": total_info["accepted"] + info["accepted"],
+            }
+        if rnd < rounds - 1:
+            # Progressive schedule: loose first (don't trim inliers while the
+            # estimate is still biased by outliers), tightening to
+            # trim_threshold on the final round.
+            thresh = solver.trim_threshold * (4.0 ** (rounds - 2 - rnd))
+            norms = _reproj_residual_norms(cam, problem)
+            new_mask = problem.obs_mask & (norms < thresh)
+            n_trimmed = int(jnp.sum(problem.obs_mask) - jnp.sum(new_mask))
+            if verbose:
+                print(f"[BA] trim round {rnd} @ {thresh:.0f}px: removed {n_trimmed} observations")
+            if n_trimmed == 0:
+                break
+            n_trimmed_total += n_trimmed
+            problem = problem.replace(obs_mask=new_mask)
+    total_info["trimmed"] = n_trimmed_total
+    return problem, total_info
+
+
+def _optimize_round(
+    problem: BAProblem,
+    solver: BASolverConfig,
+    cam: CameraParams,
+    verbose: bool = False,
+):
+
+    huber_on = solver.huber_delta > 0
+    hd = jnp.float32(solver.huber_delta)
+    wt = jnp.float32(solver.odom_t_weight)
+    wr = jnp.float32(solver.odom_r_weight)
+
+    lam = solver.init_lambda
+    cost = float(compute_cost(cam, problem, hd, wt, wr, huber_on))
+    history = [cost]
+    accepted = 0
+    rejected_streak = 0
+    for it in range(solver.max_iterations):
+        r, Jp, Jl, ro, Ji, Jj = _linearize(cam, problem, hd, wt, wr, huber_on)
+        d_pose, d_lm, cg_res = _solve_schur_pcg(
+            r, Jp, Jl, ro, Ji, Jj, problem,
+            jnp.float32(lam), solver.cg_iterations, solver.fix_first_pose,
+        )
+        candidate = _apply_step(problem, d_pose, d_lm)
+        new_cost = float(compute_cost(cam, candidate, hd, wt, wr, huber_on))
+        if verbose:
+            print(
+                f"[BA] iter {it}: cost {cost:.4f} -> {new_cost:.4f} "
+                f"(lambda={lam:.2e}, |cg_res|={float(cg_res):.2e})"
+            )
+        if np.isfinite(new_cost) and new_cost < cost:
+            rel = (cost - new_cost) / max(cost, 1e-12)
+            problem = candidate
+            cost = new_cost
+            lam = max(lam * solver.lambda_down, 1e-9)
+            accepted += 1
+            rejected_streak = 0
+            history.append(cost)
+            if rel < 1e-6:
+                break
+        else:
+            lam = min(lam * solver.lambda_up, 1e6)
+            rejected_streak += 1
+            history.append(cost)
+            # Plateau: repeated rejections mean we're at the attainable
+            # minimum for this linearization scale — stop burning iterations.
+            if lam >= 1e6 or rejected_streak >= 4:
+                break
+    return problem, {
+        "cost": cost,
+        "history": history,
+        "iterations": len(history) - 1,
+        "accepted": accepted,
+    }

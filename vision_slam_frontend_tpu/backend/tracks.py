@@ -1,0 +1,183 @@
+"""SLAMProblem -> BAProblem: chain matches into landmark tracks.
+
+The reference's vision factors are pairwise match lists between poses
+(reference: src/slam_types.h:91-108); a bundle adjuster needs landmarks.
+This module chains the pairwise matches into tracks with a host-side
+union-find (transitive closure over (pose, feature) nodes), initializes each
+landmark from the first observation's triangulated stereo point lifted to the
+world frame, and emits the flat fixed-capacity BAProblem arrays the device
+solver consumes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from vision_slam_frontend_tpu.types.slam_types import BAProblem, SLAMProblem
+from vision_slam_frontend_tpu.utils import np_geom
+
+
+class _UnionFind:
+    def __init__(self):
+        self.parent = {}
+
+    def find(self, x):
+        p = self.parent.setdefault(x, x)
+        if p != x:
+            self.parent[x] = p = self.find(p)
+        return p
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[ra] = rb
+
+
+def build_ba_problem(
+    problem: SLAMProblem,
+    left_cam_to_robot: Optional[np.ndarray] = None,
+    min_track_length: int = 2,
+    max_landmarks: Optional[int] = None,
+    pad_to_multiple: int = 128,
+) -> BAProblem:
+    """Convert a SLAMProblem to flat BA arrays.
+
+    Args:
+      problem: the frontend's output.
+      left_cam_to_robot: 4x4 camera->robot transform (observations are
+        left-camera pixels; the solver projects world points through
+        pose o extrinsic).
+      min_track_length: drop tracks observed fewer than this many times
+        (single-observation landmarks don't constrain anything).
+      max_landmarks: optional cap, keeping the longest tracks.
+      pad_to_multiple: pad capacities for TPU-friendly static shapes.
+
+    Returns a BAProblem with numpy arrays (callers jnp-ify / shard).
+    """
+    import jax.numpy as jnp  # noqa: F401  (BAProblem is a flax pytree; np leaves are fine)
+
+    uf = _UnionFind()
+    for f in problem.vision_factors:
+        for m in f.feature_matches:
+            uf.union(
+                (f.pose_idx_initial, m.feature_idx_initial),
+                (f.pose_idx_current, m.feature_idx_current),
+            )
+
+    # Collect observations per track root.
+    tracks: dict = {}
+    node_by_id = {n.node_idx: n for n in problem.nodes}
+    for f in problem.vision_factors:
+        for m in f.feature_matches:
+            for key in (
+                (f.pose_idx_initial, m.feature_idx_initial),
+                (f.pose_idx_current, m.feature_idx_current),
+            ):
+                root = uf.find(key)
+                tracks.setdefault(root, set()).add(key)
+
+    track_list = [sorted(obs) for obs in tracks.values() if len(obs) >= min_track_length]
+    # Longest tracks first (most informative), deterministic tie-break.
+    track_list.sort(key=lambda t: (-len(t), t[0]))
+    if max_landmarks is not None:
+        track_list = track_list[:max_landmarks]
+
+    pose_ids = np.array(sorted(node_by_id), np.int64)
+    pose_row = {pid: i for i, pid in enumerate(pose_ids)}
+    P = len(pose_ids)
+
+    if left_cam_to_robot is None:
+        left_cam_to_robot = np.eye(4)
+    R_cr = left_cam_to_robot[:3, :3]
+    t_cr = left_cam_to_robot[:3, 3]
+
+    obs_pose, obs_landmark, obs_pixel = [], [], []
+    landmarks = []
+    for lid, track in enumerate(track_list):
+        init = None
+        for pose_id, feat_idx in track:
+            node = node_by_id.get(pose_id)
+            if node is None or feat_idx >= len(node.features):
+                continue
+            feat = node.features[feat_idx]
+            obs_pose.append(pose_row[pose_id])
+            obs_landmark.append(lid)
+            obs_pixel.append(np.asarray(feat.pixel, np.float64))
+            if init is None and np.all(np.isfinite(feat.point3d)) and feat.point3d[2] > 0.05:
+                # Lift the stereo-triangulated camera-frame point to world:
+                # world = pose o (cam->robot) applied to point3d.
+                p_robot = R_cr @ np.asarray(feat.point3d, np.float64) + t_cr
+                q = np.asarray(node.pose.angle, np.float64)
+                init = np_geom.quat_rotate(q, p_robot) + np.asarray(node.pose.loc, np.float64)
+        landmarks.append(init if init is not None else np.zeros(3))
+
+    L = len(landmarks)
+    N = len(obs_pose)
+
+    def cap(n):
+        m = pad_to_multiple
+        return max(m, ((n + m - 1) // m) * m)
+
+    Pc, Lc, Nc = P, cap(L), cap(N)
+
+    poses_t = np.zeros((Pc, 3), np.float32)
+    poses_q = np.zeros((Pc, 4), np.float32)
+    poses_q[:, 0] = 1.0
+    pose_mask = np.zeros(Pc, bool)
+    for pid in pose_ids:
+        i = pose_row[pid]
+        node = node_by_id[pid]
+        poses_t[i] = node.pose.loc
+        poses_q[i] = node.pose.angle
+        pose_mask[i] = True
+
+    lm = np.zeros((Lc, 3), np.float32)
+    lm_mask = np.zeros(Lc, bool)
+    if L:
+        lm[:L] = np.stack(landmarks)
+        lm_mask[:L] = True
+
+    op = np.zeros(Nc, np.int32)
+    ol = np.zeros(Nc, np.int32)
+    opix = np.zeros((Nc, 2), np.float32)
+    omask = np.zeros(Nc, bool)
+    if N:
+        op[:N] = obs_pose
+        ol[:N] = obs_landmark
+        opix[:N] = np.stack(obs_pixel)
+        omask[:N] = True
+
+    Q = len(problem.odometry_factors)
+    Qc = max(1, Q)
+    oi = np.zeros(Qc, np.int32)
+    oj = np.zeros(Qc, np.int32)
+    ot = np.zeros((Qc, 3), np.float32)
+    oq = np.zeros((Qc, 4), np.float32)
+    oq[:, 0] = 1.0
+    oqm = np.zeros(Qc, bool)
+    for k, f in enumerate(problem.odometry_factors):
+        if f.pose_i in pose_row and f.pose_j in pose_row:
+            oi[k] = pose_row[f.pose_i]
+            oj[k] = pose_row[f.pose_j]
+            ot[k] = f.translation
+            oq[k] = f.rotation
+            oqm[k] = True
+
+    return BAProblem(
+        poses_t=poses_t,
+        poses_q=poses_q,
+        pose_mask=pose_mask,
+        landmarks=lm,
+        landmark_mask=lm_mask,
+        obs_pose=op,
+        obs_landmark=ol,
+        obs_pixel=opix,
+        obs_mask=omask,
+        odom_i=oi,
+        odom_j=oj,
+        odom_t=ot,
+        odom_q=oq,
+        odom_mask=oqm,
+    )

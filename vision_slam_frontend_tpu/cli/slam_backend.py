@@ -1,0 +1,121 @@
+"""slam_backend CLI: optimize a saved SLAM problem with bundle adjustment.
+
+The consumer of the frontend's npz artifact — the role the reference delegates
+to its closed-source backend (reference: README.md:3 "saved to a file for
+offline processing by the backend"). Reads a problem (+ calibration embedded
+by the frontend CLI), chains matches into landmark tracks, runs LM with
+Schur-complement PCG, and writes the optimized problem + trajectory.
+
+Usage:
+  python -m vision_slam_frontend_tpu.cli.slam_backend \
+      --input problem.npz --output solved.npz [--ply map.ply] [--verbose]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="slam_backend", description=__doc__)
+    p.add_argument("--input", required=True, help="SLAM problem npz (from slam_frontend)")
+    p.add_argument("--output", required=True, help="optimized problem npz")
+    p.add_argument("--ply", default=None, help="optimized pose-graph + landmark PLY")
+    p.add_argument("--config", default=None, help="YAML config (else calib embedded in input)")
+    p.add_argument("--max_iterations", type=int, default=15)
+    p.add_argument("--huber_delta", type=float, default=4.0)
+    p.add_argument("--trim_threshold", type=float, default=8.0)
+    p.add_argument("--min_track_length", type=int, default=2)
+    p.add_argument("--max_landmarks", type=int, default=None)
+    p.add_argument("--verbose", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from vision_slam_frontend_tpu.backend import BASolverConfig, build_ba_problem, optimize
+    from vision_slam_frontend_tpu.backend.residuals import CameraParams
+    from vision_slam_frontend_tpu.io.serialize import load_problem, problem_to_arrays
+
+    try:
+        problem = load_problem(args.input)
+        with np.load(args.input) as raw:
+            data = dict(raw)
+    except (FileNotFoundError, ValueError, KeyError) as e:
+        print(f"Unable to read {args.input}, reason:\n {e}")
+        return 1
+
+    if args.config:
+        from vision_slam_frontend_tpu.frontend.config import FrontendConfig
+
+        config = FrontendConfig.load(args.config)
+        cam = CameraParams.from_config(config)
+        cam_to_robot = np.asarray(config.left_cam_to_robot)
+    elif "calib_K_left" in data:
+        K = data["calib_K_left"]
+        ext = data["calib_left_cam_to_robot"]
+        cam = CameraParams(
+            fx=jnp.float32(K[0, 0]), fy=jnp.float32(K[1, 1]),
+            cx=jnp.float32(K[0, 2]), cy=jnp.float32(K[1, 2]),
+            R_cr=jnp.asarray(ext[:3, :3]), t_cr=jnp.asarray(ext[:3, 3]),
+        )
+        cam_to_robot = ext
+    else:
+        print("No calibration: pass --config or use a frontend-written npz")
+        return 1
+
+    ba = build_ba_problem(
+        problem,
+        left_cam_to_robot=cam_to_robot,
+        min_track_length=args.min_track_length,
+        max_landmarks=args.max_landmarks,
+    )
+    n_lm = int(np.sum(np.asarray(ba.landmark_mask)))
+    n_obs = int(np.sum(np.asarray(ba.obs_mask)))
+    print(
+        f"BA problem: {ba.num_poses} poses, {n_lm} landmarks, {n_obs} observations, "
+        f"{int(np.sum(np.asarray(ba.odom_mask)))} odometry factors"
+    )
+
+    solver = BASolverConfig(
+        max_iterations=args.max_iterations,
+        huber_delta=args.huber_delta,
+        trim_threshold=args.trim_threshold,
+    )
+    t0 = time.perf_counter()
+    opt, info = optimize(ba, cam=cam, solver=solver, verbose=args.verbose)
+    elapsed = time.perf_counter() - t0
+    print(
+        f"BA converged: cost {info['history'][0]:.1f} -> {info['cost']:.1f} in "
+        f"{info['iterations']} LM iterations ({elapsed:.2f}s, "
+        f"{info['trimmed']} observations trimmed)"
+    )
+
+    # Write the optimized problem: original structure with updated poses,
+    # plus the optimized landmark cloud and per-pose trajectory.
+    for k, node in enumerate(problem.nodes):
+        node.pose.loc = np.asarray(opt.poses_t[k])
+        node.pose.angle = np.asarray(opt.poses_q[k])
+    out = problem_to_arrays(problem)
+    out["ba_landmarks"] = np.asarray(opt.landmarks)
+    out["ba_landmark_mask"] = np.asarray(opt.landmark_mask)
+    out["ba_cost_history"] = np.asarray(info["history"])
+    for key in data:
+        if key.startswith("calib_"):
+            out[key] = data[key]
+    np.savez_compressed(args.output, **out)
+    print(f"Wrote {args.output}")
+
+    if args.ply:
+        from vision_slam_frontend_tpu.viz.ply import export_ply
+
+        stats = export_ply(args.ply, problem, cam_to_robot)
+        print(f"Wrote {args.ply}: {stats}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -185,14 +185,18 @@ def keyframe_step(
         params.nn_match_ratio, params.best_percent,
     )
 
-    # --- 6. Track propagation (oldest-match-wins). Scatter priority:
-    # iterate newest -> oldest so the oldest slot's write lands last; within
-    # a slot, write descending-distance first so the best match lands last.
+    # --- 6. Track propagation (oldest-match-wins, then smallest distance).
+    # Sort-free: one scatter-min of a combined priority (slot * 1000 + dist;
+    # dist <= 256 so slots dominate), then a masked write of the winners'
+    # track ids. Two scatters total instead of W sorts + W scatters.
     tid = frame_id * K + jnp.arange(K, dtype=jnp.int32)
-    for w in reversed(range(W)):
-        order = jnp.argsort(-w_dist[w])
-        tgt = jnp.where(w_matched[w][order], w_idx[w][order], K)  # K => dropped
-        tid = tid.at[tgt].set(state.track_id[w][order], mode="drop")
+    w_rows = jax.lax.broadcasted_iota(jnp.float32, (W, K), 0)
+    prio = w_rows * 1000.0 + jnp.minimum(w_dist, 999.0)  # (W, K)
+    tgt = jnp.where(w_matched, w_idx, K)  # K -> parked in the pad slot
+    minp = jnp.full((K + 1,), jnp.inf).at[tgt.reshape(-1)].min(prio.reshape(-1))
+    winner = w_matched & (prio == minp[tgt])
+    wtgt = jnp.where(winner, w_idx, K)
+    tid = tid.at[wtgt.reshape(-1)].set(state.track_id.reshape(-1), mode="drop")
 
     # --- 7. Triangulation on undistorted stereo pairs
     # (reference: Calculate3DPoints via cv::triangulatePoints).

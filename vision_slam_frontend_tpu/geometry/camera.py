@@ -156,12 +156,30 @@ def triangulate_points(
     l1, l2 = rows(proj_left, pixels_left)
     r1, r2 = rows(proj_right, pixels_right)
     A = jnp.stack([l1, l2, r1, r2], axis=-2)  # (N, 4, 4)
-    M = jnp.einsum("nij,nik->njk", A, A)  # A^T A, (N, 4, 4)
-    _, vecs = jnp.linalg.eigh(M)
-    X = vecs[..., :, 0]  # eigenvector of smallest eigenvalue, (N, 4)
-    w = X[..., 3:4]
-    wsafe = jnp.where(jnp.abs(w) < 1e-12, jnp.where(w < 0, -1e-12, 1e-12), w)
-    return X[..., :3] / wsafe
+    # Inhomogeneous DLT: fix w = 1 and solve the 4x3 least-squares system
+    # A[:, :3] X = -A[:, 3] via its 3x3 normal equations, closed-form by
+    # adjugate/determinant. One fused batch of elementwise ops — far cheaper
+    # on TPU than a batched eigendecomposition, and equivalent for finite
+    # points (stereo frontends never triangulate points at infinity).
+    B = A[..., :3]  # (N, 4, 3)
+    b = -A[..., 3]  # (N, 4)
+    M = jnp.einsum("nij,nik->njk", B, B)  # (N, 3, 3) normal matrix
+    v = jnp.einsum("nij,ni->nj", B, b)  # (N, 3)
+
+    m00, m01, m02 = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    m11, m12, m22 = M[..., 1, 1], M[..., 1, 2], M[..., 2, 2]
+    c00 = m11 * m22 - m12 * m12
+    c01 = m02 * m12 - m01 * m22
+    c02 = m01 * m12 - m02 * m11
+    c11 = m00 * m22 - m02 * m02
+    c12 = m01 * m02 - m00 * m12
+    c22 = m00 * m11 - m01 * m01
+    det = m00 * c00 + m01 * c01 + m02 * c02
+    det = jnp.where(jnp.abs(det) < 1e-18, 1e-18, det)
+    x = (c00 * v[..., 0] + c01 * v[..., 1] + c02 * v[..., 2]) / det
+    y = (c01 * v[..., 0] + c11 * v[..., 1] + c12 * v[..., 2]) / det
+    z = (c02 * v[..., 0] + c12 * v[..., 1] + c22 * v[..., 2]) / det
+    return jnp.stack([x, y, z], axis=-1)
 
 
 def skew(v: jnp.ndarray) -> jnp.ndarray:

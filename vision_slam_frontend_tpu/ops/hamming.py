@@ -120,8 +120,15 @@ def best_percent_mask(
     shapes stay static.
     """
     masked = jnp.where(matched, dist, _LARGE)
-    order = jnp.argsort(masked)  # ascending; stable
-    ranks = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
+    # Counting ranks instead of argsort: rank_i = #{j : d_j < d_i or
+    # (d_j == d_i and j < i)} — a (K, K) comparison reduction that runs on
+    # the VPU, much cheaper on TPU than a sort, and identical to a stable
+    # ascending sort's ranks.
+    K = masked.shape[0]
+    less = masked[None, :] < masked[:, None]
+    idx = jnp.arange(K)
+    tie_before = (masked[None, :] == masked[:, None]) & (idx[None, :] < idx[:, None])
+    ranks = jnp.sum((less | tie_before).astype(jnp.int32), axis=1)
     num_valid = jnp.sum(matched.astype(jnp.int32))
     num_good = (num_valid.astype(jnp.float32) * best_percent).astype(jnp.int32)
     return matched & (ranks < num_good)
