@@ -1,0 +1,97 @@
+"""Distributed tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+
+from vision_slam_frontend_tpu.backend import BASolverConfig, ate_rmse, optimize
+from vision_slam_frontend_tpu.parallel import (
+    make_mesh,
+    optimize_sharded,
+    shard_ba_problem,
+)
+
+
+def _fixture(**kw):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_backend import synthetic_ba
+
+    return synthetic_ba(**kw)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must force an 8-device CPU mesh"
+    return make_mesh(8)
+
+
+class TestShardedBA:
+    def test_sharding_layout(self, mesh8):
+        cam, problem, gt_t, gt_lm = _fixture(seed=11)
+        # Pad observations to a multiple of 8 for the mesh.
+        N = problem.obs_pixel.shape[0]
+        pad = (-N) % 8
+        if pad:
+            import jax.numpy as jnp
+
+            problem = problem.replace(
+                obs_pose=jnp.pad(problem.obs_pose, (0, pad)),
+                obs_landmark=jnp.pad(problem.obs_landmark, (0, pad)),
+                obs_pixel=jnp.pad(problem.obs_pixel, ((0, pad), (0, 0))),
+                obs_mask=jnp.pad(problem.obs_mask, (0, pad)),
+            )
+        sharded = shard_ba_problem(problem, mesh8)
+        assert len(sharded.obs_pixel.sharding.device_set) == 8
+        # Replicated leaves live on all devices too, unsharded.
+        assert sharded.poses_t.sharding.is_fully_replicated
+
+    def test_sharded_matches_single_device(self, mesh8):
+        import jax.numpy as jnp
+
+        cam, problem, gt_t, gt_lm = _fixture(
+            pose_noise=0.05, lm_noise=0.2, px_noise=0.3, seed=12
+        )
+        N = problem.obs_pixel.shape[0]
+        pad = (-N) % 8
+        if pad:
+            problem = problem.replace(
+                obs_pose=jnp.pad(problem.obs_pose, (0, pad)),
+                obs_landmark=jnp.pad(problem.obs_landmark, (0, pad)),
+                obs_pixel=jnp.pad(problem.obs_pixel, ((0, pad), (0, 0))),
+                obs_mask=jnp.pad(problem.obs_mask, (0, pad)),
+            )
+        solver = BASolverConfig(max_iterations=8)
+        opt_single, info_single = optimize(problem, cam=cam, solver=solver)
+        opt_shard, info_shard = optimize_sharded(problem, mesh8, cam=cam, solver=solver)
+        # Same optimum up to float reduction order.
+        np.testing.assert_allclose(
+            np.asarray(opt_shard.poses_t), np.asarray(opt_single.poses_t), atol=5e-3
+        )
+        ate_s = ate_rmse(np.asarray(opt_single.poses_t), gt_t, align=False)
+        ate_d = ate_rmse(np.asarray(opt_shard.poses_t), gt_t, align=False)
+        assert abs(ate_s - ate_d) < 5e-3
+        assert ate_d < 0.02
+
+    def test_indivisible_capacity_rejected(self, mesh8):
+        import jax.numpy as jnp
+
+        cam, problem, *_ = _fixture(seed=13)
+        N = problem.obs_pixel.shape[0]
+        pad = (-N) % 8 + 1  # force N % 8 == 1
+        problem = problem.replace(
+            obs_pose=jnp.pad(problem.obs_pose, (0, pad)),
+            obs_landmark=jnp.pad(problem.obs_landmark, (0, pad)),
+            obs_pixel=jnp.pad(problem.obs_pixel, ((0, pad), (0, 0))),
+            obs_mask=jnp.pad(problem.obs_mask, (0, pad)),
+        )
+        with pytest.raises(ValueError, match="not divisible"):
+            shard_ba_problem(problem, mesh8)
+
+
+class TestMultichipDryrun:
+    def test_graft_dryrun(self):
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(8)

@@ -1,0 +1,14 @@
+"""Multi-chip / multi-host execution: mesh setup, sharded BA, batched frontend."""
+
+from vision_slam_frontend_tpu.parallel.mesh import make_mesh, initialize_distributed
+from vision_slam_frontend_tpu.parallel.sharded_ba import (
+    shard_ba_problem,
+    optimize_sharded,
+)
+
+__all__ = [
+    "make_mesh",
+    "initialize_distributed",
+    "shard_ba_problem",
+    "optimize_sharded",
+]
