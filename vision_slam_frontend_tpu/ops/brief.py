@@ -73,35 +73,36 @@ def compute_orientations(image: jnp.ndarray, keypoints: jnp.ndarray, valid: jnp.
     Returns:
       (K,) float32 angle in radians (0 for invalid keypoints).
 
-    TPU-native formulation: square-patch moments for EVERY pixel via four
-    separable 1-D convolutions (m10 = colsum(ones) o rowconv(x-weights),
-    m01 transposed), then just K values gathered per moment. The square patch
-    (vs ORB's circle) loses nothing in practice: orientation biases are shared
-    between the frames being matched, so steering stays consistent — and the
-    separable form is ~25x cheaper than a dense 31x31 conv on this hardware.
+    TPU-native formulation: square-patch moments for EVERY pixel via
+    separable 1-D filters (m10 = colsum(ones) o rowfilter(x-weights),
+    m01 transposed), each implemented as statically-unrolled shifted adds —
+    pure VPU elementwise work that XLA fuses, far faster here than
+    lax.conv's lowering for skinny kernels. The square patch (vs ORB's
+    circle) loses nothing in practice: orientation biases are shared between
+    the frames being matched, so steering stays consistent.
     """
-    from jax import lax
-
     H, W = image.shape
     r = PATCH_RADIUS
-    side = 2 * r + 1
-    wx = np.arange(-r, r + 1, dtype=np.float32)
-    ones = np.ones(side, np.float32)
 
-    img = image[None, None]  # NCHW
+    def filt(x, axis, ramp: bool):
+        """Sum of +-r shifts along `axis`, optionally weighted by offset."""
+        pad_width = [(0, 0), (0, 0)]
+        pad_width[axis] = (r, r)
+        padded = jnp.pad(x, pad_width)
+        n = x.shape[axis]
+        acc = None
+        for d in range(-r, r + 1):
+            w = float(d) if ramp else 1.0
+            if w == 0.0:
+                continue
+            sl = [slice(None), slice(None)]
+            sl[axis] = slice(r + d, r + d + n)
+            term = padded[tuple(sl)] * w if w != 1.0 else padded[tuple(sl)]
+            acc = term if acc is None else acc + term
+        return acc
 
-    def conv1d(x, k, axis):
-        if axis == 0:  # along H
-            kern = jnp.asarray(k[None, None, :, None])
-            pad = [(r, r), (0, 0)]
-        else:  # along W
-            kern = jnp.asarray(k[None, None, None, :])
-            pad = [(0, 0), (r, r)]
-        dn = lax.conv_dimension_numbers(x.shape, kern.shape, ("NCHW", "OIHW", "NCHW"))
-        return lax.conv_general_dilated(x, kern, (1, 1), pad, dimension_numbers=dn)
-
-    m10_map = conv1d(conv1d(img, wx, axis=1), ones, axis=0)[0, 0]
-    m01_map = conv1d(conv1d(img, wx, axis=0), ones, axis=1)[0, 0]
+    m10_map = filt(filt(image, axis=1, ramp=True), axis=0, ramp=False)
+    m01_map = filt(filt(image, axis=0, ramp=True), axis=1, ramp=False)
 
     kx = keypoints[..., 0].astype(jnp.int32)
     ky = keypoints[..., 1].astype(jnp.int32)
