@@ -39,14 +39,38 @@ def iter_synthetic(spec: str) -> Iterator[Event]:
         yield ("stereo", f.timestamp, (f.left, f.right))
 
 
+def _bag_messages(path: str, topics, verbosity: int):
+    """Parsed bag messages via the native C++ scanner when built (indexes the
+    whole bag up front, decodes JPEG on the native thread pool), else the
+    pure-Python reader."""
+    import os
+
+    from vision_slam_frontend_tpu.io import native_loader, rosbag
+
+    if os.environ.get("VSF_DISABLE_NATIVE") != "1" and native_loader.native_available():
+        try:
+            reader = native_loader.NativeBagReader(path)
+        except (ValueError, RuntimeError):
+            reader = None
+        if reader is not None and len(reader) > 0:
+            if verbosity > 0:
+                print(f"[native] C++ bag scanner: {len(reader)} records")
+            type_by_topic = {t: ty for t, ty in reader.connections.values()}
+            for topic, t_ns, raw in reader.read_messages(topics=list(topics)):
+                parser = rosbag.DESERIALIZERS.get(type_by_topic.get(topic, ""))
+                msg = parser(raw) if parser else {"raw": raw}
+                yield topic, t_ns, msg
+            return
+    yield from rosbag.read_messages(path, topics=list(topics))
+
+
 def iter_bag(path: str, left_topic: str, right_topic: str, odom_topic: str, verbosity: int) -> Iterator[Event]:
-    """ROS1 bag streaming via the built-in pure-Python reader (no ROS)."""
-    from vision_slam_frontend_tpu.io import rosbag
+    """ROS1 bag streaming (native C++ scanner when built; no ROS install)."""
     from vision_slam_frontend_tpu.io.image import decode_compressed_image
 
     pending_left = None  # (t_ns, image_msg)
-    for topic, t_ns, msg in rosbag.read_messages(
-        path, topics=[left_topic, right_topic, odom_topic]
+    for topic, t_ns, msg in _bag_messages(
+        path, [left_topic, right_topic, odom_topic], verbosity
     ):
         if topic == odom_topic:
             if verbosity > 1:

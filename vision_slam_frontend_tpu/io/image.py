@@ -38,8 +38,20 @@ def decode_image_bytes(data: bytes, fmt: str = "") -> np.ndarray:
 
 
 def decode_compressed_image(msg: dict) -> np.ndarray:
-    """Decode a parsed sensor_msgs/CompressedImage dict (see io/rosbag.py)."""
-    return decode_image_bytes(msg["data"], msg.get("format", ""))
+    """Decode a parsed sensor_msgs/CompressedImage dict (see io/rosbag.py).
+
+    Plain JPEG takes the native C++ decoder when built (io/native_loader);
+    Bayer-encoded frames need the demosaic path and stay on OpenCV.
+    """
+    fmt = msg.get("format", "")
+    if "bayer" not in fmt:
+        from vision_slam_frontend_tpu.io import native_loader
+
+        if native_loader.native_available():
+            out = native_loader.decode_jpeg_gray(msg["data"])
+            if out is not None:
+                return out.astype(np.float32)
+    return decode_image_bytes(msg["data"], fmt)
 
 
 def encode_jpeg(image: np.ndarray, quality: int = 92) -> bytes:
