@@ -140,6 +140,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sequence", default=None, help="KITTI sequence id (e.g. 00)")
     p.add_argument("--config", default=None, help="YAML config/calibration path")
     p.add_argument("--ply", default=None, help="also export pose-graph + landmark PLY here")
+    p.add_argument(
+        "--output_bag", default=None,
+        help="also write a reference-format ROS bag (extrinsics/intrinsics/slam_problem topics)",
+    )
     p.add_argument("--max_features", type=int, default=None, help="override feature capacity K")
     p.add_argument("--frame_life", type=int, default=None, help="override temporal window W")
     return p
@@ -230,6 +234,12 @@ def main(argv=None) -> int:
         f"({frames_seen / max(elapsed, 1e-9):.1f} frames/s, "
         f"{n_poses / max(elapsed, 1e-9):.1f} keyframes/s)"
     )
+
+    if args.output_bag:
+        from vision_slam_frontend_tpu.io.ros_msgs import write_output_bag
+
+        write_output_bag(args.output_bag, problem, config)
+        print(f"Wrote reference-format bag {args.output_bag}")
 
     if args.ply:
         from vision_slam_frontend_tpu.viz.ply import export_ply
