@@ -146,6 +146,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--max_features", type=int, default=None, help="override feature capacity K")
     p.add_argument("--frame_life", type=int, default=None, help="override temporal window W")
+    p.add_argument(
+        "--checkpoint_every", type=int, default=0,
+        help="write a resumable snapshot every N keyframes (to <output>.ckpt.npz)",
+    )
+    p.add_argument("--resume", default=None, help="resume from a checkpoint file")
+    p.add_argument(
+        "--profile_dir", default=None,
+        help="capture a jax.profiler trace of the run into this directory",
+    )
     return p
 
 
@@ -195,6 +204,24 @@ def main(argv=None) -> int:
         events = iter_euroc(args.input)
 
     frontend = Frontend(config)
+    frontend.verbosity = args.verbosity
+    resume_t = -float("inf")
+    if args.resume:
+        resume_t = frontend.load_checkpoint(args.resume)
+        print(
+            f"Resumed from {args.resume}: {frontend.get_num_poses()} poses, "
+            f"skipping events at t <= {resume_t:.6f}"
+        )
+    ckpt_path = args.output + ".ckpt.npz"
+    last_ckpt_poses = frontend.get_num_poses()
+
+    profiler_ctx = None
+    if args.profile_dir:
+        import jax
+
+        jax.profiler.start_trace(args.profile_dir)
+        profiler_ctx = args.profile_dir
+
     print(f"Processing {args.input}")
     t_start = time.perf_counter()
     frames_seen = 0
@@ -212,6 +239,8 @@ def main(argv=None) -> int:
     import itertools
 
     for kind, t, payload in itertools.chain([first], events):
+        if t <= resume_t:
+            continue
         if kind == "odometry":
             translation, rotation = payload
             frontend.observe_odometry(translation, rotation, t)
@@ -219,9 +248,24 @@ def main(argv=None) -> int:
             left, right = payload
             frames_seen += 1
             frontend.observe_image(left, right, t)
-            if args.max_poses > 0 and frontend.get_num_poses() >= args.max_poses:
+            n_poses = frontend.get_num_poses()
+            if (
+                args.checkpoint_every > 0
+                and n_poses > last_ckpt_poses
+                and n_poses % args.checkpoint_every == 0
+            ):
+                frontend.save_checkpoint(ckpt_path)
+                last_ckpt_poses = n_poses
+                if args.verbosity > 0:
+                    print(f"[checkpoint] {n_poses} poses -> {ckpt_path}")
+            if args.max_poses > 0 and n_poses >= args.max_poses:
                 break
     elapsed = time.perf_counter() - t_start
+    if profiler_ctx:
+        import jax
+
+        jax.profiler.stop_trace()
+        print(f"Wrote profiler trace to {profiler_ctx}")
     print("Done processing bag file." if dataset == "bag" else "Done processing input.")
 
     problem = frontend.get_slam_problem()
@@ -234,6 +278,8 @@ def main(argv=None) -> int:
         f"({frames_seen / max(elapsed, 1e-9):.1f} frames/s, "
         f"{n_poses / max(elapsed, 1e-9):.1f} keyframes/s)"
     )
+    if args.verbosity > 0 and frontend.stats_summary():
+        print(f"[stats] {frontend.stats_summary()}")
 
     if args.output_bag:
         from vision_slam_frontend_tpu.io.ros_msgs import write_output_bag

@@ -19,6 +19,12 @@ from typing import List, Optional
 import numpy as np
 import jax
 
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
+
 from vision_slam_frontend_tpu.frontend.config import FrontendConfig
 from vision_slam_frontend_tpu.frontend.keyframe import (
     KeyframeResult,
@@ -75,6 +81,8 @@ class Frontend:
 
         self._debug_data: List[dict] = []
         self._last_image_shape = None
+        self._stats: List[dict] = []
+        self.verbosity = 0
 
     # ------------------------------------------------------------------
     # Observation API
@@ -147,6 +155,26 @@ class Frontend:
         )
         r: KeyframeResult = jax.device_get(result)
         self._accumulate(fid, r)
+        # Per-keyframe observability (the reference's only metric is one
+        # end-of-run summary line; SURVEY.md section 5).
+        matched_per_slot = np.asarray(r.window_matched).sum(axis=1)
+        self._stats.append(
+            {
+                "frame_id": fid,
+                "timestamp": self._odom_timestamp,
+                "num_features": int(r.num_features),
+                "num_stereo_candidates": int(r.num_stereo_candidates),
+                "stereo_threshold": float(r.stereo_threshold),
+                "window_matches": matched_per_slot.tolist(),
+            }
+        )
+        if self.verbosity > 1:
+            print(
+                f"[frontend] keyframe {fid}: {int(r.num_features)} features "
+                f"({int(r.num_stereo_candidates)} stereo candidates, "
+                f"epipolar gate {float(r.stereo_threshold):.1f}), window matches "
+                f"{matched_per_slot.tolist()}"
+            )
         if self.config.debug_images:
             self._debug_data.append(
                 {
@@ -220,6 +248,87 @@ class Frontend:
             )
 
     # ------------------------------------------------------------------
+    # Checkpoint / resume (the reference has none: a crash mid-bag loses
+    # everything, SURVEY.md section 5 — this makes long runs resumable)
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, path: str) -> None:
+        """Snapshot the full frontend state: accumulated problem, device
+        window state, odometry latch, frame counter."""
+        import jax
+
+        from vision_slam_frontend_tpu.io.serialize import problem_to_arrays
+
+        data = problem_to_arrays(self.get_slam_problem(), self._node_track_ids)
+        state = jax.device_get(self._state)
+        data.update(
+            {
+                "ckpt_window_kps": state.kps,
+                "ckpt_window_desc": state.desc,
+                "ckpt_window_valid": state.valid,
+                "ckpt_window_track_id": state.track_id,
+                "ckpt_window_frame_id": state.frame_id,
+                "ckpt_window_count": state.count,
+                "ckpt_stereo_threshold": state.stereo_threshold,
+                "ckpt_curr_frame_id": np.int64(self._curr_frame_id),
+                "ckpt_odom_initialized": np.bool_(self._odom_initialized),
+                "ckpt_init_odom_t": self._init_odom_t,
+                "ckpt_init_odom_q": self._init_odom_q,
+                "ckpt_prev_odom_t": self._prev_odom_t,
+                "ckpt_prev_odom_q": self._prev_odom_q,
+                "ckpt_odom_t": self._odom_t,
+                "ckpt_odom_q": self._odom_q,
+                "ckpt_odom_timestamp": np.float64(self._odom_timestamp),
+            }
+        )
+        import os
+
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:  # file object: savez won't append ".npz"
+            np.savez_compressed(f, **data)
+        os.replace(tmp, path)
+
+    def load_checkpoint(self, path: str) -> float:
+        """Restore state saved by save_checkpoint; returns the last processed
+        odometry timestamp (callers skip events at or before it)."""
+        from vision_slam_frontend_tpu.frontend.keyframe import WindowState
+        from vision_slam_frontend_tpu.io.serialize import arrays_to_problem
+
+        with np.load(path) as raw:
+            data = dict(raw)
+        problem = arrays_to_problem(data)
+        self._nodes = problem.nodes
+        self._vision_factors = problem.vision_factors
+        self._odometry_factors = problem.odometry_factors
+        if "feat_track" in data and len(self._nodes):
+            flat = data["feat_track"]
+            self._node_track_ids = []
+            off = 0
+            for n in self._nodes:
+                k = len(n.features)
+                self._node_track_ids.append(flat[off : off + k].copy())
+                off += k
+        self._state = WindowState(
+            kps=jnp_asarray(data["ckpt_window_kps"]),
+            desc=jnp_asarray(data["ckpt_window_desc"]),
+            valid=jnp_asarray(data["ckpt_window_valid"]),
+            track_id=jnp_asarray(data["ckpt_window_track_id"]),
+            frame_id=jnp_asarray(data["ckpt_window_frame_id"]),
+            count=jnp_asarray(data["ckpt_window_count"]),
+            stereo_threshold=jnp_asarray(data["ckpt_stereo_threshold"]),
+        )
+        self._curr_frame_id = int(data["ckpt_curr_frame_id"])
+        self._odom_initialized = bool(data["ckpt_odom_initialized"])
+        self._init_odom_t = data["ckpt_init_odom_t"]
+        self._init_odom_q = data["ckpt_init_odom_q"]
+        self._prev_odom_t = data["ckpt_prev_odom_t"]
+        self._prev_odom_q = data["ckpt_prev_odom_q"]
+        self._odom_t = data["ckpt_odom_t"]
+        self._odom_q = data["ckpt_odom_q"]
+        self._odom_timestamp = float(data["ckpt_odom_timestamp"])
+        return self._odom_timestamp
+
+    # ------------------------------------------------------------------
     # Output API
     # ------------------------------------------------------------------
 
@@ -241,6 +350,27 @@ class Frontend:
     def node_track_ids(self) -> List[np.ndarray]:
         """Per-node persistent track ids (framework extension for BA)."""
         return self._node_track_ids
+
+    @property
+    def stats(self) -> List[dict]:
+        """Per-keyframe pipeline statistics (features, stereo survival,
+        adaptive threshold, window match counts)."""
+        return self._stats
+
+    def stats_summary(self) -> dict:
+        if not self._stats:
+            return {}
+        feats = [s["num_features"] for s in self._stats]
+        cands = [s["num_stereo_candidates"] for s in self._stats]
+        return {
+            "keyframes": len(self._stats),
+            "features_mean": float(np.mean(feats)),
+            "features_min": int(np.min(feats)),
+            "stereo_survival_mean": float(
+                np.mean([f / max(c, 1) for f, c in zip(feats, cands)])
+            ),
+            "stereo_threshold_last": self._stats[-1]["stereo_threshold"],
+        }
 
     # Debug accessors (reference: getDebugImages / GetLastDebugImage etc.)
 
