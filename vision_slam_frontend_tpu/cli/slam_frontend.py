@@ -140,6 +140,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sequence", default=None, help="KITTI sequence id (e.g. 00)")
     p.add_argument("--config", default=None, help="YAML config/calibration path")
     p.add_argument("--ply", default=None, help="also export pose-graph + landmark PLY here")
+    p.add_argument("--html", default=None, help="also export a standalone interactive HTML viewer")
     p.add_argument(
         "--output_bag", default=None,
         help="also write a reference-format ROS bag (extrinsics/intrinsics/slam_problem topics)",
@@ -292,6 +293,12 @@ def main(argv=None) -> int:
 
         stats = export_ply(args.ply, problem, config.left_cam_to_robot)
         print(f"Wrote {args.ply}: {stats}")
+
+    if args.html:
+        from vision_slam_frontend_tpu.viz.html import export_html
+
+        stats = export_html(args.html, problem, config.left_cam_to_robot)
+        print(f"Wrote {args.html}: {stats}")
 
     if args.save_debug:
         import os
