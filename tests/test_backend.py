@@ -88,7 +88,16 @@ def synthetic_ba(
         ot.append(np_geom.quat_rotate(qi_inv, gt_t[k + 1] - gt_t[k]))
         oq.append(np_geom.quat_multiply(qi_inv, gt_q[k + 1]))
 
+    from vision_slam_frontend_tpu.backend.tracks import build_gather_tables
+
+    pose_obs, pose_obs_mask, lm_obs, lm_obs_mask = build_gather_tables(
+        np.asarray(obs_pose), np.asarray(obs_lm), np.ones(N, bool), P, L
+    )
     problem = BAProblem(
+        pose_obs=jnp.asarray(pose_obs),
+        pose_obs_mask=jnp.asarray(pose_obs_mask),
+        lm_obs=jnp.asarray(lm_obs),
+        lm_obs_mask=jnp.asarray(lm_obs_mask),
         poses_t=jnp.asarray(init_t, jnp.float32),
         poses_q=jnp.asarray(init_q, jnp.float32),
         pose_mask=jnp.ones(P, bool),

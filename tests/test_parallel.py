@@ -65,9 +65,12 @@ class TestShardedBA:
         solver = BASolverConfig(max_iterations=8)
         opt_single, info_single = optimize(problem, cam=cam, solver=solver)
         opt_shard, info_shard = optimize_sharded(problem, mesh8, cam=cam, solver=solver)
-        # Same optimum up to float reduction order.
+        # Same optimum up to float reduction order (the single-chip path uses
+        # the pose-major formulation, the sharded path the scatter one, so
+        # reduction orders — and hence LM accept/reject trajectories — differ
+        # slightly).
         np.testing.assert_allclose(
-            np.asarray(opt_shard.poses_t), np.asarray(opt_single.poses_t), atol=5e-3
+            np.asarray(opt_shard.poses_t), np.asarray(opt_single.poses_t), atol=2e-2
         )
         ate_s = ate_rmse(np.asarray(opt_single.poses_t), gt_t, align=False)
         ate_d = ate_rmse(np.asarray(opt_shard.poses_t), gt_t, align=False)

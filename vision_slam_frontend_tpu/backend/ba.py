@@ -136,22 +136,166 @@ def _solve_schur_pcg(
     r, Jp, Jl, ro, Ji, Jj, problem: BAProblem, lm_damping, cg_iters: int, fix_first: bool,
 ):
     """One damped GN step: Schur-eliminate landmarks, PCG the camera system,
-    back-substitute landmarks. Returns (d_pose (P,6), d_lm (L,3), cg_resnorm)."""
+    back-substitute landmarks. Returns (d_pose (P,6), d_lm (L,3), cg_resnorm).
+
+    Dispatches to the pose-major formulation when the problem carries gather
+    tables (fast path on TPU; see _solve_schur_pcg_posemajor), else the
+    scatter-based segment-sum formulation (works everywhere, and is what the
+    observation-sharded distributed path lowers best from).
+    """
+    if problem.pose_obs is not None:
+        return _solve_schur_pcg_posemajor(
+            r, Jp, Jl, ro, Ji, Jj, problem, lm_damping, cg_iters, fix_first
+        )
+    return _solve_schur_pcg_scatter(
+        r, Jp, Jl, ro, Ji, Jj, problem, lm_damping, cg_iters, fix_first
+    )
+
+
+def _odom_terms(problem, Ji, Jj, ro, P):
+    """Odometry-factor contributions (tiny Q: scatter is fine here)."""
+    g = -_segsum(jnp.einsum("qij,qi->qj", Ji, ro), problem.odom_i, P)
+    g += -_segsum(jnp.einsum("qij,qi->qj", Jj, ro), problem.odom_j, P)
+    U = _segsum(jnp.einsum("qij,qik->qjk", Ji, Ji), problem.odom_i, P)
+    U += _segsum(jnp.einsum("qij,qik->qjk", Jj, Jj), problem.odom_j, P)
+
+    def apply_x(x):
+        yo = jnp.einsum("qij,qj->qi", Ji, x[problem.odom_i]) + jnp.einsum(
+            "qij,qj->qi", Jj, x[problem.odom_j]
+        )
+        u = _segsum(jnp.einsum("qij,qi->qj", Ji, yo), problem.odom_i, P)
+        u += _segsum(jnp.einsum("qij,qi->qj", Jj, yo), problem.odom_j, P)
+        return u
+
+    return g, U, apply_x
+
+
+def _run_pcg(b, S_apply, M_apply, cg_iters):
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = M_apply(r0)
+
+    def cg_body(_, carry):
+        x, rr, z, p, rz = carry
+        Sp = S_apply(p)
+        denom = jnp.sum(p * Sp)
+        alpha = jnp.where(jnp.abs(denom) > 1e-20, rz / denom, 0.0)
+        x = x + alpha * p
+        rr2 = rr - alpha * Sp
+        z2 = M_apply(rr2)
+        rz2 = jnp.sum(rr2 * z2)
+        beta = jnp.where(jnp.abs(rz) > 1e-20, rz2 / rz, 0.0)
+        p2 = z2 + beta * p
+        return x, rr2, z2, p2, rz2
+
+    init = (x0, r0, z0, z0, jnp.sum(r0 * z0))
+    x, rr, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body, init)
+    return x, rr
+
+
+def _solve_schur_pcg_posemajor(
+    r, Jp, Jl, ro, Ji, Jj, problem: BAProblem, lm_damping, cg_iters: int, fix_first: bool,
+):
+    """Pose-major Schur-PCG: the TPU-fast formulation.
+
+    Per-observation tensors are re-laid-out ONCE per linearization into
+    (P, Mp, ...) pose blocks (problem.pose_obs is the host-built plan). Then:
+      - every pose-side product is a dense einsum + axis-sum (no gathers);
+      - landmark reductions gather rows of the pose-major flat space via
+        problem.lm_obs (L, Ml) — the only gathers left in the CG loop,
+        ~3x less traffic than the flat formulation, and the reason this path
+        is ~10x faster than scatter segment-sums on TPU.
+    """
+    P = problem.poses_t.shape[0]
+    L = problem.landmarks.shape[0]
+    tbl = problem.pose_obs  # (P, Mp) flat obs indices
+    pm_mask = problem.pose_obs_mask.astype(r.dtype)[..., None]  # (P, Mp, 1)
+    lm_tbl = problem.lm_obs  # (L, Ml) indices into flat (P*Mp)
+    lm_mask = problem.lm_obs_mask.astype(r.dtype)[..., None]  # (L, Ml, 1)
+    Mp = tbl.shape[1]
+
+    # One-time relayout (invalid/pad slots zeroed by pm_mask).
+    Jp_pm = Jp[tbl] * pm_mask[..., None]  # (P, Mp, 2, 6)
+    Jl_pm = Jl[tbl] * pm_mask[..., None]  # (P, Mp, 2, 3)
+    r_pm = r[tbl] * pm_mask  # (P, Mp, 2)
+    ol_pm = problem.obs_landmark[tbl]  # (P, Mp) landmark id per slot
+
+    def lm_reduce(x_pm):  # (P, Mp, D) -> (L, D): gather + masked sum
+        flat = x_pm.reshape(P * Mp, x_pm.shape[-1])
+        return jnp.sum(flat[lm_tbl] * lm_mask, axis=1)
+
+    # --- Landmark blocks.
+    VV = jnp.einsum("pmij,pmik->pmjk", Jl_pm, Jl_pm).reshape(P, Mp, 9)
+    V = lm_reduce(VV).reshape(L, 3, 3) + lm_damping * jnp.eye(3)[None]
+    V_inv = _sym3_inv(V)
+
+    # --- Gradients.
+    g_odom, U_odom, odom_apply = _odom_terms(problem, Ji, Jj, ro, P)
+    g_pose = -jnp.einsum("pmij,pmi->pj", Jp_pm, r_pm) + g_odom
+    g_lm = -lm_reduce(jnp.einsum("pmij,pmi->pmj", Jl_pm, r_pm))
+
+    def gauge(x):
+        return x.at[0].set(0.0) if fix_first else x
+
+    # --- Reduced RHS.
+    s = jnp.einsum("ljk,lk->lj", V_inv, g_lm)  # (L, 3)
+    s_pm = s[ol_pm] * pm_mask  # (P, Mp, 3)
+    Jls = jnp.einsum("pmij,pmj->pmi", Jl_pm, s_pm)
+    b = gauge(g_pose - jnp.einsum("pmij,pmi->pj", Jp_pm, Jls))
+
+    # --- Preconditioner.
+    U_diag = jnp.einsum("pmij,pmik->pjk", Jp_pm, Jp_pm) + U_odom
+    U_diag += lm_damping * jnp.eye(6)[None]
+    M_inv = jnp.linalg.inv(U_diag)
+
+    def S_apply(x):
+        x = gauge(x)
+        y = jnp.einsum("pmij,pj->pmi", Jp_pm, x)  # (P, Mp, 2), gather-free
+        u = jnp.einsum("pmij,pmi->pj", Jp_pm, y) + odom_apply(x) + lm_damping * x
+        t = lm_reduce(jnp.einsum("pmij,pmi->pmj", Jl_pm, y))  # (L, 3)
+        st = jnp.einsum("ljk,lk->lj", V_inv, t)
+        st_pm = st[ol_pm] * pm_mask  # (P, Mp, 3)
+        z2 = jnp.einsum("pmij,pmj->pmi", Jl_pm, st_pm)
+        z = jnp.einsum("pmij,pmi->pj", Jp_pm, z2)
+        return gauge(u - z)
+
+    def M_apply(x):
+        return gauge(jnp.einsum("pij,pj->pi", M_inv, x))
+
+    d_pose, rr = _run_pcg(b, S_apply, M_apply, cg_iters)
+
+    # --- Back-substitution.
+    y = jnp.einsum("pmij,pj->pmi", Jp_pm, d_pose)
+    wtd = lm_reduce(jnp.einsum("pmij,pmi->pmj", Jl_pm, y))
+    d_lm = jnp.einsum("ljk,lk->lj", V_inv, g_lm - wtd)
+    return d_pose, d_lm, jnp.linalg.norm(rr)
+
+
+def _solve_schur_pcg_scatter(
+    r, Jp, Jl, ro, Ji, Jj, problem: BAProblem, lm_damping, cg_iters: int, fix_first: bool,
+):
+    """Flat scatter-based formulation (fallback; also the distributed form)."""
     P = problem.poses_t.shape[0]
     L = problem.landmarks.shape[0]
     op = problem.obs_pose
     ol = problem.obs_landmark
 
+    def reduce_pose(data):
+        return _segsum(data, op, P)
+
+    def reduce_lm(data):
+        return _segsum(data, ol, L)
+
     # --- Landmark blocks and their exact elimination.
-    V = _segsum(jnp.einsum("nij,nik->njk", Jl, Jl), ol, L)  # (L, 3, 3)
+    V = reduce_lm(jnp.einsum("nij,nik->njk", Jl, Jl))  # (L, 3, 3)
     V = V + lm_damping * jnp.eye(3)[None]
     V_inv = _sym3_inv(V)
 
     # --- Gradients (RHS of the normal equations): g = -J^T r.
-    g_pose = -_segsum(jnp.einsum("nij,ni->nj", Jp, r), op, P)
+    g_pose = -reduce_pose(jnp.einsum("nij,ni->nj", Jp, r))
     g_pose += -_segsum(jnp.einsum("qij,qi->qj", Ji, ro), problem.odom_i, P)
     g_pose += -_segsum(jnp.einsum("qij,qi->qj", Jj, ro), problem.odom_j, P)
-    g_lm = -_segsum(jnp.einsum("nij,ni->nj", Jl, r), ol, L)
+    g_lm = -reduce_lm(jnp.einsum("nij,ni->nj", Jl, r))
 
     def gauge(x):
         return x.at[0].set(0.0) if fix_first else x
@@ -160,10 +304,10 @@ def _solve_schur_pcg(
     # per-observation as Jp^T (Jl s).
     s = jnp.einsum("ljk,lk->lj", V_inv, g_lm)  # (L, 3)
     Jls = jnp.einsum("nij,nj->ni", Jl, s[ol])  # (N, 2)
-    b = gauge(g_pose - _segsum(jnp.einsum("nij,ni->nj", Jp, Jls), op, P))
+    b = gauge(g_pose - reduce_pose(jnp.einsum("nij,ni->nj", Jp, Jls)))
 
     # --- Block-Jacobi preconditioner from the U diagonal.
-    U_diag = _segsum(jnp.einsum("nij,nik->njk", Jp, Jp), op, P)
+    U_diag = reduce_pose(jnp.einsum("nij,nik->njk", Jp, Jp))
     U_diag += _segsum(jnp.einsum("qij,qik->qjk", Ji, Ji), problem.odom_i, P)
     U_diag += _segsum(jnp.einsum("qij,qik->qjk", Jj, Jj), problem.odom_j, P)
     U_diag += lm_damping * jnp.eye(6)[None]
@@ -173,7 +317,7 @@ def _solve_schur_pcg(
         x = gauge(x)
         # U x: reprojection part...
         y = jnp.einsum("nij,nj->ni", Jp, x[op])  # (N, 2)
-        u = _segsum(jnp.einsum("nij,ni->nj", Jp, y), op, P)
+        u = reduce_pose(jnp.einsum("nij,ni->nj", Jp, y))
         # ... odometry part (couples pose pairs):
         yo = jnp.einsum("qij,qj->qi", Ji, x[problem.odom_i]) + jnp.einsum(
             "qij,qj->qi", Jj, x[problem.odom_j]
@@ -182,10 +326,10 @@ def _solve_schur_pcg(
         u += _segsum(jnp.einsum("qij,qi->qj", Jj, yo), problem.odom_j, P)
         u += lm_damping * x
         # - W V^{-1} W^T x:
-        t = _segsum(jnp.einsum("nij,ni->nj", Jl, y), ol, L)  # (L, 3)
+        t = reduce_lm(jnp.einsum("nij,ni->nj", Jl, y))  # (L, 3)
         st = jnp.einsum("ljk,lk->lj", V_inv, t)
         Jlst = jnp.einsum("nij,nj->ni", Jl, st[ol])  # (N, 2)
-        z = _segsum(jnp.einsum("nij,ni->nj", Jp, Jlst), op, P)
+        z = reduce_pose(jnp.einsum("nij,ni->nj", Jp, Jlst))
         return gauge(u - z)
 
     def M_apply(x):
@@ -216,7 +360,7 @@ def _solve_schur_pcg(
 
     # --- Landmark back-substitution: d_lm = V^{-1}(g_lm - W^T d_pose).
     y = jnp.einsum("nij,nj->ni", Jp, d_pose[op])  # (N, 2)
-    wtd = _segsum(jnp.einsum("nij,ni->nj", Jl, y), ol, L)
+    wtd = reduce_lm(jnp.einsum("nij,ni->nj", Jl, y))
     d_lm = jnp.einsum("ljk,lk->lj", V_inv, g_lm - wtd)
 
     return d_pose, d_lm, jnp.linalg.norm(rr)

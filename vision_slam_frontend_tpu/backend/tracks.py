@@ -19,6 +19,62 @@ from vision_slam_frontend_tpu.types.slam_types import BAProblem, SLAMProblem
 from vision_slam_frontend_tpu.utils import np_geom
 
 
+def build_gather_tables(
+    obs_pose: np.ndarray,
+    obs_landmark: np.ndarray,
+    obs_mask: np.ndarray,
+    num_poses: int,
+    num_landmarks: int,
+    pad_multiple: int = 8,
+):
+    """Precompute the solver's segment-reduction plan as padded index tables.
+
+    TPU scatter-adds serialize on duplicate indices, so
+    `sum over observations of pose p` is instead computed as a dense gather
+    over `pose_obs[p]` + masked sum — the vectorized formulation. Built once
+    per problem on the host (observation graph is static during a solve).
+
+    Returns (pose_obs, pose_obs_mask, lm_obs, lm_obs_mask).
+    """
+    obs_pose = np.asarray(obs_pose)
+    obs_landmark = np.asarray(obs_landmark)
+    obs_mask = np.asarray(obs_mask)
+
+    def table(ids, num_segments):
+        idx_valid = np.nonzero(obs_mask)[0]
+        order = np.argsort(ids[idx_valid], kind="stable")
+        sorted_idx = idx_valid[order]
+        sorted_ids = ids[idx_valid][order]
+        counts = np.bincount(sorted_ids, minlength=num_segments)
+        width = int(counts.max()) if len(counts) and counts.max() > 0 else 1
+        width = ((width + pad_multiple - 1) // pad_multiple) * pad_multiple
+        tbl = np.zeros((num_segments, width), np.int32)
+        msk = np.zeros((num_segments, width), bool)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        for s in range(num_segments):
+            c = counts[s]
+            if c:
+                tbl[s, :c] = sorted_idx[starts[s] : starts[s] + c]
+                msk[s, :c] = True
+        return tbl, msk
+
+    pose_obs, pose_obs_mask = table(obs_pose, num_poses)
+    lm_obs, lm_obs_mask = table(obs_landmark, num_landmarks)
+    # Translate the landmark table into POSE-MAJOR flat positions: the solver
+    # lays observation tensors out as (P, Mp, ...) so pose-side products are
+    # gather-free; landmark reductions then index that flat (P*Mp) space.
+    Mp = pose_obs.shape[1]
+    obs_to_pm = np.zeros(max(int(obs_pose.shape[0]), 1), np.int64)
+    rows = np.repeat(np.arange(pose_obs.shape[0]), Mp)
+    cols = np.tile(np.arange(Mp), pose_obs.shape[0])
+    flat_idx = pose_obs.reshape(-1)
+    valid = pose_obs_mask.reshape(-1)
+    obs_to_pm[flat_idx[valid]] = (rows * Mp + cols)[valid]
+    lm_obs_pm = obs_to_pm[lm_obs].astype(np.int32)
+    lm_obs_pm[~lm_obs_mask] = 0
+    return pose_obs, pose_obs_mask, lm_obs_pm, lm_obs_mask
+
+
 class _UnionFind:
     def __init__(self):
         self.parent = {}
@@ -165,6 +221,9 @@ def build_ba_problem(
             oq[k] = f.rotation
             oqm[k] = True
 
+    pose_obs, pose_obs_mask, lm_obs, lm_obs_mask = build_gather_tables(
+        op, ol, omask, Pc, Lc
+    )
     return BAProblem(
         poses_t=poses_t,
         poses_q=poses_q,
@@ -180,4 +239,8 @@ def build_ba_problem(
         odom_t=ot,
         odom_q=oq,
         odom_mask=oqm,
+        pose_obs=pose_obs,
+        pose_obs_mask=pose_obs_mask,
+        lm_obs=lm_obs,
+        lm_obs_mask=lm_obs_mask,
     )

@@ -61,6 +61,14 @@ def shard_ba_problem(problem: BAProblem, mesh, axis_name: str = "data") -> BAPro
         odom_t=put(problem.odom_t, replicated),
         odom_q=put(problem.odom_q, replicated),
         odom_mask=put(problem.odom_mask, replicated),
+        # Drop the single-chip gather-plan tables: they index the GLOBAL
+        # observation order and would force XLA to all-gather the shards.
+        # The sharded path uses the scatter/segment-sum formulation, which
+        # GSPMD partitions as local partial sums + one all-reduce over ICI.
+        pose_obs=None,
+        pose_obs_mask=None,
+        lm_obs=None,
+        lm_obs_mask=None,
     )
 
 

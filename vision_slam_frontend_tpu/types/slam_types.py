@@ -176,6 +176,15 @@ class BAProblem:
       obs_mask:     (N,)
       odom_i / odom_j: (Q,) int32
       odom_t: (Q, 3), odom_q: (Q, 4), odom_mask: (Q,)
+
+    Optional gather-plan tables (built host-side; see backend/tracks.py):
+    TPU scatter-adds serialize, so the solver's segment reductions run as
+    dense gather+sum over these padded index tables instead —
+      pose_obs: (P, max_obs_per_pose) int32 observation indices, row p lists
+        the observations of pose p (pad entries point at a masked slot);
+      pose_obs_mask: (P, max_obs_per_pose) bool;
+      lm_obs / lm_obs_mask: same per landmark.
+    When None, the solver falls back to scatter-based segment sums.
     """
 
     poses_t: Any
@@ -192,6 +201,10 @@ class BAProblem:
     odom_t: Any
     odom_q: Any
     odom_mask: Any
+    pose_obs: Any = None
+    pose_obs_mask: Any = None
+    lm_obs: Any = None
+    lm_obs_mask: Any = None
 
     @property
     def num_poses(self) -> int:
