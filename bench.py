@@ -74,7 +74,10 @@ def main() -> None:
             left, right = images[3 + (i % 3)]
             state, result = step(state, jnp.asarray(left), jnp.asarray(right), jnp.int32(fid))
             fid += 1
-        jax.block_until_ready(result)
+        # device_get of a scalar forces true completion of the whole chained
+        # window (block_until_ready reports dispatch-only on tunneled
+        # backends); the state dependency chains every step into this fetch.
+        _ = int(jax.device_get(result.num_features))
         best = min(best, time.perf_counter() - t0)
 
     fps = n_iters / best
