@@ -90,6 +90,7 @@ def _linearize(cam, problem: BAProblem, huber_delta, odom_t_weight, odom_r_weigh
     r, Jp, Jl = linearize_reprojection(
         cam, problem.poses_t, problem.poses_q, problem.landmarks,
         problem.obs_pose, problem.obs_landmark, problem.obs_pixel, problem.obs_mask,
+        problem.obs_pixel_right, problem.obs_right_mask,
     )
     if cfg_huber_enabled:
         w = huber_weights(r, huber_delta)[:, None]
@@ -115,6 +116,7 @@ def compute_cost(cam, problem: BAProblem, huber_delta, odom_t_weight, odom_r_wei
     r, _, _ = _lr(
         cam, problem.poses_t, problem.poses_q, problem.landmarks,
         problem.obs_pose, problem.obs_landmark, problem.obs_pixel, problem.obs_mask,
+        problem.obs_pixel_right, problem.obs_right_mask,
     )
     if cfg_huber_enabled:
         norm = jnp.linalg.norm(r, axis=-1)
@@ -235,7 +237,11 @@ def _solve_schur_pcg_posemajor(
     g_lm = -lm_reduce(jnp.einsum("pmij,pmi->pmj", Jl_pm, r_pm))
 
     def gauge(x):
-        return x.at[0].set(0.0) if fix_first else x
+        if fix_first:
+            x = x.at[0].set(0.0)
+        if problem.pose_fixed is not None:
+            x = jnp.where(problem.pose_fixed[:, None], 0.0, x)
+        return x
 
     # --- Reduced RHS.
     s = jnp.einsum("ljk,lk->lj", V_inv, g_lm)  # (L, 3)
@@ -298,7 +304,11 @@ def _solve_schur_pcg_scatter(
     g_lm = -reduce_lm(jnp.einsum("nij,ni->nj", Jl, r))
 
     def gauge(x):
-        return x.at[0].set(0.0) if fix_first else x
+        if fix_first:
+            x = x.at[0].set(0.0)
+        if problem.pose_fixed is not None:
+            x = jnp.where(problem.pose_fixed[:, None], 0.0, x)
+        return x
 
     # --- Reduced RHS: b = g_pose - W V^{-1} g_lm, with W s applied
     # per-observation as Jp^T (Jl s).
@@ -383,6 +393,7 @@ def _reproj_residual_norms(cam, problem: BAProblem):
     r, _, _ = _lr(
         cam, problem.poses_t, problem.poses_q, problem.landmarks,
         problem.obs_pose, problem.obs_landmark, problem.obs_pixel, problem.obs_mask,
+        problem.obs_pixel_right, problem.obs_right_mask,
     )
     return jnp.linalg.norm(r, axis=-1)
 

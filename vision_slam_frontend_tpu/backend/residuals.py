@@ -34,7 +34,8 @@ from vision_slam_frontend_tpu.geometry.rotation import (
 
 @struct.dataclass
 class CameraParams:
-    """Left-camera projection used by the solver."""
+    """Stereo projection used by the solver: left camera + right camera via
+    the rig's right-extrinsic block (x_right = R_rl x_left + t_rl)."""
 
     fx: Any
     fy: Any
@@ -43,15 +44,38 @@ class CameraParams:
     # camera -> robot extrinsic
     R_cr: Any  # (3, 3)
     t_cr: Any  # (3,)
+    # right camera (stereo constraint); defaults mirror the left camera with
+    # an identity extrinsic (observations then need obs_right_mask=False).
+    fx_r: Any = None
+    fy_r: Any = None
+    cx_r: Any = None
+    cy_r: Any = None
+    R_rl: Any = None  # (3, 3)
+    t_rl: Any = None  # (3,)
+
+    def __post_init__(self):
+        if self.fx_r is None:
+            object.__setattr__(self, "fx_r", self.fx)
+            object.__setattr__(self, "fy_r", self.fy)
+            object.__setattr__(self, "cx_r", self.cx)
+            object.__setattr__(self, "cy_r", self.cy)
+        if self.R_rl is None:
+            object.__setattr__(self, "R_rl", jnp.eye(3))
+            object.__setattr__(self, "t_rl", jnp.zeros(3))
 
     @classmethod
     def from_config(cls, config) -> "CameraParams":
         intr = config.intrinsics_left
+        intr_r = config.intrinsics_right
         ext = jnp.asarray(config.left_cam_to_robot)
+        A_r = jnp.asarray(config.calib["right_extrinsic"], jnp.float32)
         return cls(
             fx=jnp.float32(intr.fx), fy=jnp.float32(intr.fy),
             cx=jnp.float32(intr.cx), cy=jnp.float32(intr.cy),
             R_cr=ext[:3, :3], t_cr=ext[:3, 3],
+            fx_r=jnp.float32(intr_r.fx), fy_r=jnp.float32(intr_r.fy),
+            cx_r=jnp.float32(intr_r.cx), cy_r=jnp.float32(intr_r.cy),
+            R_rl=A_r[:, :3], t_rl=A_r[:, 3],
         )
 
 
@@ -75,31 +99,76 @@ def reproject_residual(cam: CameraParams, t, q, landmark, pixel):
     return jnp.where(z > 1e-6, r, jnp.clip(r, -1e4, 1e4))
 
 
+def reproject_residual_stereo(cam: CameraParams, t, q, landmark, pixel_l, pixel_r, has_right):
+    """Stereo residual (4,): [left u,v ; right u,v]; right rows zeroed when
+    the observation has no stereo match (has_right = 0)."""
+    p_robot = quat_rotate(quat_inverse(q), landmark - t)
+    p_l = cam.R_cr.T @ (p_robot - cam.t_cr)
+
+    def pinhole(p, fx, fy, cx, cy, px):
+        z = p[2]
+        zsafe = jnp.where(jnp.abs(z) < 1e-6, jnp.where(z < 0, -1e-6, 1e-6), z)
+        pred = jnp.stack([fx * p[0] / zsafe + cx, fy * p[1] / zsafe + cy])
+        r = pred - px
+        return jnp.where(z > 1e-6, r, jnp.clip(r, -1e4, 1e4))
+
+    r_l = pinhole(p_l, cam.fx, cam.fy, cam.cx, cam.cy, pixel_l)
+    p_r = cam.R_rl @ p_l + cam.t_rl
+    r_r = pinhole(p_r, cam.fx_r, cam.fy_r, cam.cx_r, cam.cy_r, pixel_r) * has_right
+    return jnp.concatenate([r_l, r_r])
+
+
 def _reproj_with_deltas(cam, t, q, landmark, pixel, d_pose, d_lm):
     t2, q2 = _apply_pose_delta(t, q, d_pose)
     return reproject_residual(cam, t2, q2, landmark + d_lm, pixel)
 
 
+def _stereo_with_deltas(cam, t, q, landmark, px_l, px_r, has_r, d_pose, d_lm):
+    t2, q2 = _apply_pose_delta(t, q, d_pose)
+    return reproject_residual_stereo(cam, t2, q2, landmark + d_lm, px_l, px_r, has_r)
+
+
 @jax.jit
-def linearize_reprojection(cam: CameraParams, poses_t, poses_q, landmarks, obs_pose, obs_landmark, obs_pixel, obs_mask):
+def linearize_reprojection(
+    cam: CameraParams, poses_t, poses_q, landmarks, obs_pose, obs_landmark,
+    obs_pixel, obs_mask, obs_pixel_right=None, obs_right_mask=None,
+):
     """Batched residuals + Jacobians for all observations.
 
-    Returns r (N, 2), J_pose (N, 2, 6), J_lm (N, 2, 3), masked to zero for
-    invalid observations.
+    Returns r (N, D), J_pose (N, D, 6), J_lm (N, D, 3) with D=4 when stereo
+    pixels are provided (rows 2:4 zeroed for mono observations), D=2
+    otherwise; everything masked to zero for invalid observations.
     """
     t = poses_t[obs_pose]
     q = poses_q[obs_pose]
     lm = landmarks[obs_landmark]
 
-    def per_obs(t_i, q_i, lm_i, px_i):
-        d0 = jnp.zeros(6)
-        dl0 = jnp.zeros(3)
-        r = _reproj_with_deltas(cam, t_i, q_i, lm_i, px_i, d0, dl0)
-        Jp = jax.jacfwd(lambda d: _reproj_with_deltas(cam, t_i, q_i, lm_i, px_i, d, dl0))(d0)
-        Jl = jax.jacfwd(lambda dl: _reproj_with_deltas(cam, t_i, q_i, lm_i, px_i, d0, dl))(dl0)
-        return r, Jp, Jl
+    if obs_pixel_right is None:
+        def per_obs(t_i, q_i, lm_i, px_i):
+            d0 = jnp.zeros(6)
+            dl0 = jnp.zeros(3)
+            r = _reproj_with_deltas(cam, t_i, q_i, lm_i, px_i, d0, dl0)
+            Jp = jax.jacfwd(lambda d: _reproj_with_deltas(cam, t_i, q_i, lm_i, px_i, d, dl0))(d0)
+            Jl = jax.jacfwd(lambda dl: _reproj_with_deltas(cam, t_i, q_i, lm_i, px_i, d0, dl))(dl0)
+            return r, Jp, Jl
 
-    r, Jp, Jl = jax.vmap(per_obs)(t, q, lm, obs_pixel)
+        r, Jp, Jl = jax.vmap(per_obs)(t, q, lm, obs_pixel)
+    else:
+        has_r = obs_right_mask.astype(jnp.float32)
+
+        def per_obs(t_i, q_i, lm_i, px_i, pxr_i, hr_i):
+            d0 = jnp.zeros(6)
+            dl0 = jnp.zeros(3)
+            r = _stereo_with_deltas(cam, t_i, q_i, lm_i, px_i, pxr_i, hr_i, d0, dl0)
+            Jp = jax.jacfwd(
+                lambda d: _stereo_with_deltas(cam, t_i, q_i, lm_i, px_i, pxr_i, hr_i, d, dl0)
+            )(d0)
+            Jl = jax.jacfwd(
+                lambda dl: _stereo_with_deltas(cam, t_i, q_i, lm_i, px_i, pxr_i, hr_i, d0, dl)
+            )(dl0)
+            return r, Jp, Jl
+
+        r, Jp, Jl = jax.vmap(per_obs)(t, q, lm, obs_pixel, obs_pixel_right, has_r)
     m = obs_mask[:, None].astype(r.dtype)
     return r * m, Jp * m[..., None], Jl * m[..., None]
 

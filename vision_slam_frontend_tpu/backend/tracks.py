@@ -150,6 +150,7 @@ def build_ba_problem(
     t_cr = left_cam_to_robot[:3, 3]
 
     obs_pose, obs_landmark, obs_pixel = [], [], []
+    obs_pixel_right, obs_right = [], []
     landmarks = []
     for lid, track in enumerate(track_list):
         init = None
@@ -161,6 +162,13 @@ def build_ba_problem(
             obs_pose.append(pose_row[pose_id])
             obs_landmark.append(lid)
             obs_pixel.append(np.asarray(feat.pixel, np.float64))
+            pr = getattr(feat, "pixel_right", None)
+            if pr is not None and np.all(np.isfinite(pr)):
+                obs_pixel_right.append(np.asarray(pr, np.float64))
+                obs_right.append(True)
+            else:
+                obs_pixel_right.append(np.zeros(2))
+                obs_right.append(False)
             if init is None and np.all(np.isfinite(feat.point3d)) and feat.point3d[2] > 0.05:
                 # Lift the stereo-triangulated camera-frame point to world:
                 # world = pose o (cam->robot) applied to point3d.
@@ -199,11 +207,15 @@ def build_ba_problem(
     ol = np.zeros(Nc, np.int32)
     opix = np.zeros((Nc, 2), np.float32)
     omask = np.zeros(Nc, bool)
+    opix_r = np.zeros((Nc, 2), np.float32)
+    omask_r = np.zeros(Nc, bool)
     if N:
         op[:N] = obs_pose
         ol[:N] = obs_landmark
         opix[:N] = np.stack(obs_pixel)
         omask[:N] = True
+        opix_r[:N] = np.stack(obs_pixel_right)
+        omask_r[:N] = obs_right
 
     Q = len(problem.odometry_factors)
     Qc = max(1, Q)
@@ -234,6 +246,8 @@ def build_ba_problem(
         obs_landmark=ol,
         obs_pixel=opix,
         obs_mask=omask,
+        obs_pixel_right=opix_r,
+        obs_right_mask=omask_r,
         odom_i=oi,
         odom_j=oj,
         odom_t=ot,

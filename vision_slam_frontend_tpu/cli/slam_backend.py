@@ -57,10 +57,20 @@ def main(argv=None) -> int:
     elif "calib_K_left" in data:
         K = data["calib_K_left"]
         ext = data["calib_left_cam_to_robot"]
+        kwargs = {}
+        if "calib_right_extrinsic" in data and "calib_K_right" in data:
+            Kr = data["calib_K_right"]
+            A_r = data["calib_right_extrinsic"]
+            kwargs = dict(
+                fx_r=jnp.float32(Kr[0, 0]), fy_r=jnp.float32(Kr[1, 1]),
+                cx_r=jnp.float32(Kr[0, 2]), cy_r=jnp.float32(Kr[1, 2]),
+                R_rl=jnp.asarray(A_r[:, :3]), t_rl=jnp.asarray(A_r[:, 3]),
+            )
         cam = CameraParams(
             fx=jnp.float32(K[0, 0]), fy=jnp.float32(K[1, 1]),
             cx=jnp.float32(K[0, 2]), cy=jnp.float32(K[1, 2]),
             R_cr=jnp.asarray(ext[:3, :3]), t_cr=jnp.asarray(ext[:3, 3]),
+            **kwargs,
         )
         cam_to_robot = ext
     else:

@@ -148,6 +148,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_features", type=int, default=None, help="override feature capacity K")
     p.add_argument("--frame_life", type=int, default=None, help="override temporal window W")
     p.add_argument(
+        "--local_ba", type=int, default=0,
+        help="run windowed local bundle adjustment over the last N keyframes "
+        "after each new keyframe (0 = off)",
+    )
+    p.add_argument(
         "--checkpoint_every", type=int, default=0,
         help="write a resumable snapshot every N keyframes (to <output>.ckpt.npz)",
     )
@@ -248,8 +253,23 @@ def main(argv=None) -> int:
         else:
             left, right = payload
             frames_seen += 1
-            frontend.observe_image(left, right, t)
+            added = frontend.observe_image(left, right, t)
             n_poses = frontend.get_num_poses()
+            if added and args.local_ba > 0 and n_poses >= 4:
+                from vision_slam_frontend_tpu.backend.local_ba import windowed_local_ba
+
+                live = frontend.get_slam_problem()
+                updated, ba_info = windowed_local_ba(live, config, window=args.local_ba)
+                if updated:
+                    # Push refined poses back into the frontend's accumulator.
+                    for node, src in zip(frontend._nodes, live.nodes):
+                        node.pose.loc = src.pose.loc
+                        node.pose.angle = src.pose.angle
+                    if args.verbosity > 1 and ba_info:
+                        print(
+                            f"[local-ba] refined {updated} poses "
+                            f"(cost {ba_info['history'][0]:.1f} -> {ba_info['cost']:.1f})"
+                        )
             if (
                 args.checkpoint_every > 0
                 and n_poses > last_ckpt_poses

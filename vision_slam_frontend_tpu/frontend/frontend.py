@@ -193,7 +193,12 @@ class Frontend:
         """Convert one keyframe's device outputs into problem entries."""
         n = int(r.num_features)
         feats = [
-            VisionFeature(i, r.pixels_undist[i].copy(), r.points3d[i].copy())
+            VisionFeature(
+                i,
+                r.pixels_undist[i].copy(),
+                r.points3d[i].copy(),
+                pixel_right=r.right_pixels_undist[i].copy(),
+            )
             for i in range(n)
         ]
         # World pose relative to odometry start

@@ -108,6 +108,7 @@ class KeyframeResult:
     pixels_undist: Any  # (K, 2) undistorted left pixels
     pixels_raw: Any  # (K, 2)
     right_pixels_raw: Any  # (K, 2) matched right-camera pixel per stereo pair
+    right_pixels_undist: Any  # (K, 2) undistorted matched right pixel
     points3d: Any  # (K, 3) left-camera-frame 3D points
     feat_valid: Any  # (K,) bool — survivors are compacted to the front
     track_id: Any  # (K,) i32 persistent landmark track ids
@@ -231,6 +232,7 @@ def keyframe_step(
         pixels_undist=pixels_undist,
         pixels_raw=jnp.where(f_valid[:, None], f_kps, 0.0),
         right_pixels_raw=jnp.where(f_valid[:, None], f_right_kps, 0.0),
+        right_pixels_undist=jnp.where(f_valid[:, None], ru, 0.0),
         points3d=points3d,
         feat_valid=f_valid,
         track_id=tid,

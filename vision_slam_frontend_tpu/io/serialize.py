@@ -41,16 +41,22 @@ def problem_to_arrays(
         "nodes_quat": np.array([n.pose.angle for n in nodes], np.float32).reshape(-1, 4),
     }
     feat_node, feat_idx, feat_pixel, feat_p3d = [], [], [], []
+    feat_pixel_right, feat_has_right = [], []
     for n in nodes:
         for f in n.features:
             feat_node.append(n.node_idx)
             feat_idx.append(f.feature_idx)
             feat_pixel.append(f.pixel)
             feat_p3d.append(f.point3d)
+            pr = getattr(f, "pixel_right", None)
+            feat_pixel_right.append(pr if pr is not None else np.zeros(2))
+            feat_has_right.append(pr is not None)
     out["feat_node"] = np.array(feat_node, np.int64)
     out["feat_idx"] = np.array(feat_idx, np.int64)
     out["feat_pixel"] = np.array(feat_pixel, np.float32).reshape(-1, 2)
     out["feat_point3d"] = np.array(feat_p3d, np.float32).reshape(-1, 3)
+    out["feat_pixel_right"] = np.array(feat_pixel_right, np.float32).reshape(-1, 2)
+    out["feat_has_right"] = np.array(feat_has_right, bool)
     if node_track_ids is not None:
         out["feat_track"] = np.concatenate(
             [np.asarray(t, np.int64) for t in node_track_ids]
@@ -83,11 +89,16 @@ def arrays_to_problem(data: dict) -> SLAMProblem:
     feat_node = np.asarray(data["feat_node"])
     for k, nid in enumerate(np.asarray(data["nodes_id"])):
         sel = np.nonzero(feat_node == nid)[0]
+        has_r = data.get("feat_has_right")
+        px_r = data.get("feat_pixel_right")
         feats = [
             VisionFeature(
                 int(data["feat_idx"][i]),
                 np.asarray(data["feat_pixel"][i]),
                 np.asarray(data["feat_point3d"][i]),
+                pixel_right=(
+                    np.asarray(px_r[i]) if has_r is not None and bool(has_r[i]) else None
+                ),
             )
             for i in sel
         ]
@@ -151,6 +162,9 @@ def save_problem(
         )
         data["calib_dist_right"] = np.array(
             [ir.k1, ir.k2, ir.p1, ir.p2, ir.k3], np.float32
+        )
+        data["calib_right_extrinsic"] = np.asarray(
+            config.calib["right_extrinsic"], np.float32
         )
     np.savez_compressed(path, **data)
 

@@ -42,11 +42,18 @@ class CameraExtrinsics:
 
 @dataclasses.dataclass
 class VisionFeature:
-    """One observed feature in a node (reference: src/slam_types.h:60-75)."""
+    """One observed feature in a node (reference: src/slam_types.h:60-75).
+
+    `pixel_right` is a framework extension the reference lacks: the matched
+    right-camera pixel of the stereo pair, giving the BA backend a true
+    stereo depth constraint (left-only observations are monocular and leave
+    depth weakly constrained over short windows). None when unavailable.
+    """
 
     feature_idx: int
     pixel: np.ndarray  # (2,)
     point3d: np.ndarray  # (3,) estimated 3D point in the camera frame
+    pixel_right: Any = None  # (2,) or None
 
 
 @dataclasses.dataclass
@@ -172,8 +179,10 @@ class BAProblem:
       landmark_mask: (L,)
       obs_pose:     (N,) int32 pose index per observation
       obs_landmark: (N,) int32 landmark index per observation
-      obs_pixel:    (N, 2) undistorted pixel observation
+      obs_pixel:    (N, 2) undistorted left pixel observation
       obs_mask:     (N,)
+      obs_pixel_right: (N, 2) undistorted right pixel (stereo constraint)
+      obs_right_mask:  (N,) bool — right pixel available
       odom_i / odom_j: (Q,) int32
       odom_t: (Q, 3), odom_q: (Q, 4), odom_mask: (Q,)
 
@@ -196,15 +205,21 @@ class BAProblem:
     obs_landmark: Any
     obs_pixel: Any
     obs_mask: Any
-    odom_i: Any
-    odom_j: Any
-    odom_t: Any
-    odom_q: Any
-    odom_mask: Any
+    obs_pixel_right: Any = None
+    obs_right_mask: Any = None
+    odom_i: Any = None
+    odom_j: Any = None
+    odom_t: Any = None
+    odom_q: Any = None
+    odom_mask: Any = None
     pose_obs: Any = None
     pose_obs_mask: Any = None
     lm_obs: Any = None
     lm_obs_mask: Any = None
+    # Optional (P,) bool: poses whose updates the solver zeroes (frozen).
+    # Used by windowed local BA (older poses fixed) and map merging
+    # (anchor session fixed). None = only the fix_first_pose gauge applies.
+    pose_fixed: Any = None
 
     @property
     def num_poses(self) -> int:
