@@ -73,6 +73,8 @@ class FrontendConfig:
     max_features: int = 512                     # K: per-frame feature capacity
     blur_sigma: float = 2.0
     detect_border: int = 19                     # PATCH_RADIUS + 4
+    num_levels: int = 1                         # pyramid levels (1 = single scale)
+    pyramid_scale: float = 1.4                  # per-level downscale factor
 
     # --- calibration ---
     calib: dict = dataclasses.field(default_factory=lambda: DEFAULT_CALIB)

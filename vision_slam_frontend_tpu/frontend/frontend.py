@@ -152,6 +152,8 @@ class Frontend:
             window=self.config.frame_life,
             border=self.config.detect_border,
             blur_sigma=self.config.blur_sigma,
+            num_levels=self.config.num_levels,
+            scale_factor=self.config.pyramid_scale,
         )
         r: KeyframeResult = jax.device_get(result)
         self._accumulate(fid, r)

@@ -126,7 +126,11 @@ def _stable_partition(keep: jnp.ndarray) -> jnp.ndarray:
     return jnp.argsort(jnp.where(keep, 0, 1), stable=True)
 
 
-@partial(jax.jit, static_argnames=("capacity", "window", "border", "blur_sigma"), donate_argnums=(1,))
+@partial(
+    jax.jit,
+    static_argnames=("capacity", "window", "border", "blur_sigma", "num_levels", "scale_factor"),
+    donate_argnums=(1,),
+)
 def keyframe_step(
     params: StepParams,
     state: WindowState,
@@ -137,6 +141,8 @@ def keyframe_step(
     window: int = 10,
     border: int = 19,
     blur_sigma: float = 2.0,
+    num_levels: int = 1,
+    scale_factor: float = 1.4,
 ):
     """Process one stereo keyframe. Returns (new_state, KeyframeResult)."""
     K = capacity
@@ -146,10 +152,12 @@ def keyframe_step(
     l_kps, _, l_desc, l_valid = detect_and_describe(
         left_image, threshold=params.fast_threshold, max_keypoints=K,
         border=border, blur_sigma=blur_sigma,
+        num_levels=num_levels, scale_factor=scale_factor,
     )
     r_kps, _, r_desc, r_valid = detect_and_describe(
         right_image, threshold=params.fast_threshold, max_keypoints=K,
         border=border, blur_sigma=blur_sigma,
+        num_levels=num_levels, scale_factor=scale_factor,
     )
 
     # --- 2. Stereo ratio-test match, left queries vs right trains

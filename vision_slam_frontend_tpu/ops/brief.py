@@ -194,7 +194,10 @@ def brief_describe(
     return jnp.where(valid[:, None], packed, jnp.uint32(0))
 
 
-@partial(jax.jit, static_argnames=("max_keypoints", "border", "nms", "blur_sigma"))
+@partial(
+    jax.jit,
+    static_argnames=("max_keypoints", "border", "nms", "blur_sigma", "num_levels", "scale_factor"),
+)
 def detect_and_describe(
     image: jnp.ndarray,
     threshold: float = 10.0,
@@ -202,22 +205,62 @@ def detect_and_describe(
     border: int = PATCH_RADIUS + 4,
     nms: bool = True,
     blur_sigma: float = 2.0,
+    num_levels: int = 1,
+    scale_factor: float = 1.4,
 ):
-    """Full feature extraction: FAST detect -> orient -> steered BRIEF.
+    """Full feature extraction: FAST detect -> orient -> steered BRIEF,
+    optionally over an image pyramid for scale covariance.
 
     The TPU-native equivalent of the reference's
-    `descriptor_extractor_->detectAndCompute` (src/slam_frontend.cc:274-277).
+    `descriptor_extractor_->detectAndCompute` (src/slam_frontend.cc:274-277);
+    `num_levels > 1` mirrors ORB's pyramid (the reference configures 50
+    levels at factor 1.04, src/slam_frontend.cc:205-207; we default to fewer,
+    coarser levels — each level is a static-shape detect+describe pass, with
+    a fixed per-level keypoint budget so shapes stay jit-stable).
 
-    Returns (keypoints (K,2), scores (K,), descriptors (K,8) uint32, valid (K,)).
+    Returns (keypoints (K,2) at level-0 scale, scores (K,),
+    descriptors (K,8) uint32, valid (K,)).
     """
     from vision_slam_frontend_tpu.ops.fast import fast_detect
     from vision_slam_frontend_tpu.ops.image import gaussian_blur
 
     image = image.astype(jnp.float32)
-    keypoints, scores, valid = fast_detect(
-        image, threshold=threshold, max_keypoints=max_keypoints, border=border, nms=nms
+    H, W = image.shape
+
+    if num_levels <= 1:
+        keypoints, scores, valid = fast_detect(
+            image, threshold=threshold, max_keypoints=max_keypoints, border=border, nms=nms
+        )
+        orientations = compute_orientations(image, keypoints, valid)
+        blurred = gaussian_blur(image, sigma=blur_sigma)
+        descriptors = brief_describe(blurred, keypoints, orientations, valid)
+        return keypoints, scores, descriptors, valid
+
+    budget = max_keypoints // num_levels
+    budgets = [budget] * (num_levels - 1) + [max_keypoints - budget * (num_levels - 1)]
+    kps_all, scores_all, desc_all, valid_all = [], [], [], []
+    level_img = image
+    scale = 1.0
+    for lvl in range(num_levels):
+        if lvl > 0:
+            scale *= scale_factor
+            h = max(int(round(H / scale)), 2 * border + 8)
+            w = max(int(round(W / scale)), 2 * border + 8)
+            level_img = jax.image.resize(image, (h, w), method="linear")
+        kps, scores, valid = fast_detect(
+            level_img, threshold=threshold, max_keypoints=budgets[lvl],
+            border=border, nms=nms,
+        )
+        orientations = compute_orientations(level_img, kps, valid)
+        blurred = gaussian_blur(level_img, sigma=blur_sigma)
+        desc = brief_describe(blurred, kps, orientations, valid)
+        kps_all.append(kps * scale)  # back to level-0 pixel coords
+        scores_all.append(scores)
+        desc_all.append(desc)
+        valid_all.append(valid)
+    return (
+        jnp.concatenate(kps_all, axis=0),
+        jnp.concatenate(scores_all, axis=0),
+        jnp.concatenate(desc_all, axis=0),
+        jnp.concatenate(valid_all, axis=0),
     )
-    orientations = compute_orientations(image, keypoints, valid)
-    blurred = gaussian_blur(image, sigma=blur_sigma)
-    descriptors = brief_describe(blurred, keypoints, orientations, valid)
-    return keypoints, scores, descriptors, valid
