@@ -153,19 +153,27 @@ def generate_sequence(
     yaw_rate: float = 0.01,
     rig: SyntheticRig | None = None,
     seed: int = 0,
+    odom_drift: float = 0.0,
 ) -> Iterator[StereoFrame]:
     """A forward-moving, slowly-yawing stereo trajectory over the plane.
 
     Motion per frame (`step` metres) exceeds the reference's 0.2 m keyframe
-    gate, so each frame becomes a keyframe. Odometry is the exact camera pose
-    (robot frame == left camera frame in the synthetic rig).
+    gate, so each frame becomes a keyframe. Odometry is the camera pose
+    (robot frame == left camera frame in the synthetic rig); with
+    `odom_drift > 0` the reported odometry accumulates a random-walk
+    translation error of that magnitude (metres/frame) while the rendered
+    images stay at ground truth — the realistic drifting-odometry scenario
+    BA is supposed to correct (the reference README itself warns its
+    odometry-derived trajectory drifts, reference: README.md:44).
     """
     rig = rig or SyntheticRig()
     tex = make_texture(seed)
     scene = PlaneScene.ground(tex)
     K = rig.K()
+    rng = np.random.default_rng(seed + 12345)
     pos = np.zeros(3)
     yaw = 0.0
+    drift = np.zeros(3)
     for i in range(num_frames):
         cy, sy = np.cos(yaw), np.sin(yaw)
         # Yaw about the camera's -y (up) axis.
@@ -173,13 +181,14 @@ def generate_sequence(
         left = scene.render(K, R, pos, rig.height, rig.width)
         right_pos = pos + R @ np.array([rig.baseline, 0.0, 0.0])
         right = scene.render(K, R, right_pos, rig.height, rig.width)
-        half = np.array([np.cos(yaw / 2), 0.0, np.sin(yaw / 2) * 1.0, 0.0])
-        q = np.array([half[0], 0.0, half[2], 0.0])  # yaw about +y
+        q = np.array([np.cos(yaw / 2), 0.0, np.sin(yaw / 2), 0.0])  # yaw about +y
+        if odom_drift > 0 and i > 0:
+            drift = drift + rng.normal(0.0, odom_drift, 3)
         yield StereoFrame(
             timestamp=float(i) * 0.5,
             left=left,
             right=right,
-            odom_translation=pos.copy(),
+            odom_translation=pos + drift,
             odom_rotation=np_geom.quat_normalize(q),
             cam_to_world_R=R,
             cam_pos=pos.copy(),
