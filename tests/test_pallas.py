@@ -40,3 +40,47 @@ class TestHammingTop2:
         idx_p, d1_p, d2_p = hamming_top2(q, t, vt, interpret=True)
         # All distances are the sentinel; a ratio test at any ratio < 1 fails.
         assert np.all(np.asarray(d1_p) >= np.asarray(d2_p) * 0.99)
+
+
+class TestFastScoresNms:
+    def _xla_ref(self, img):
+        import jax.numpy as jnp
+
+        from vision_slam_frontend_tpu.ops.fast import fast_scores
+
+        s = np.asarray(fast_scores(jnp.asarray(img)))
+        H, W = s.shape
+        padded = np.full((H + 2, W + 2), -np.inf)
+        padded[1:-1, 1:-1] = s
+        neigh = np.full((H, W), -np.inf)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                neigh = np.maximum(neigh, padded[1 + dy : 1 + dy + H, 1 + dx : 1 + dx + W])
+        return np.where(s > neigh, s, -np.inf)
+
+    def test_parity_interpret(self):
+        import numpy as np
+
+        from tests.test_ops import synthetic_corner_image
+        from vision_slam_frontend_tpu.ops.pallas_kernels import fast_scores_nms
+
+        img = synthetic_corner_image(1, H=96, W=128).astype(np.float32)
+        ours = np.asarray(fast_scores_nms(img, interpret=True))
+        ref = self._xla_ref(img)
+        b = 5  # padding modes differ at the image border (edge vs zero)
+        a_in, r_in = ours[b:-b, b:-b], ref[b:-b, b:-b]
+        np.testing.assert_array_equal(np.isfinite(a_in), np.isfinite(r_in))
+        m = np.isfinite(a_in)
+        np.testing.assert_allclose(a_in[m], r_in[m])
+
+    def test_nonmultiple_height(self):
+        import numpy as np
+
+        from vision_slam_frontend_tpu.ops.pallas_kernels import fast_scores_nms
+
+        rng = np.random.default_rng(2)
+        img = rng.uniform(0, 255, (50, 128)).astype(np.float32)
+        out = np.asarray(fast_scores_nms(img, interpret=True))
+        assert out.shape == (50, 128)

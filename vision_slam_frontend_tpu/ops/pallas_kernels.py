@@ -122,3 +122,94 @@ def hamming_top2_available() -> bool:
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+# ---------------------------------------------------------------------------
+# FAST-9 corner score + strict NMS, fused over row bands
+# ---------------------------------------------------------------------------
+
+_RING = (
+    (-3, 0), (-3, 1), (-2, 2), (-1, 3),
+    (0, 3), (1, 3), (2, 2), (3, 1),
+    (3, 0), (3, -1), (2, -2), (1, -3),
+    (0, -3), (-1, -3), (-2, -2), (-3, -1),
+)
+_ARC = 9
+_HALO = 4  # ring radius 3 + NMS radius 1
+
+
+def _fast_kernel(img_ref, out_ref, *, band: int, width: int):
+    """One row band: compute FAST-9 scores for band+2 rows in VMEM, then
+    strict 8-neighbor NMS, writing `band` suppressed score rows.
+
+    img_ref: the full padded image resident in VMEM (~1.3 MB at 640x480) —
+    overlapping halo windows can't be expressed as BlockSpec blocks, so each
+    program dynamic-slices its band.
+    out_ref block: (band, width) f32.
+    """
+    prog = pl.program_id(0)
+    img = img_ref[pl.ds(prog * band, band + 2 * _HALO), :]
+    rows = band + 2  # score rows needed (band + NMS halo)
+    H0 = _HALO - 1  # first score row offset such that ring halo fits
+
+    center = img[H0 : H0 + rows, H0 : H0 + width + 2]
+
+    # Ring stack via static shifted slices of the VMEM block.
+    def polarity_score(sign):
+        # windowed min over circular arcs: build 16 diffs, extend to 24.
+        diffs = []
+        for (dy, dx) in _RING:
+            ring = img[H0 + dy : H0 + dy + rows, H0 + dx : H0 + dx + width + 2]
+            diffs.append(sign * (ring - center))
+        ext = diffs + diffs[: _ARC - 1]
+        wmin16 = []
+        for start in range(16):
+            m = ext[start]
+            for k in range(1, _ARC):
+                m = jnp.minimum(m, ext[start + k])
+            wmin16.append(m)
+        out = wmin16[0]
+        for m in wmin16[1:]:
+            out = jnp.maximum(out, m)
+        return out
+
+    score = jnp.maximum(polarity_score(1.0), polarity_score(-1.0))
+
+    # Strict NMS: survive iff greater than all 8 neighbors.
+    c = score[1 : 1 + band, 1 : 1 + width]
+    neigh = None
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            n = score[1 + dy : 1 + dy + band, 1 + dx : 1 + dx + width]
+            neigh = n if neigh is None else jnp.maximum(neigh, n)
+    out_ref[:, :] = jnp.where(c > neigh, c, -jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fast_scores_nms(image: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """Fused FAST-9 score + strict NMS via Pallas row-band kernel.
+
+    Returns (H, W) suppressed scores (-inf at non-maxima), matching the XLA
+    path `fast_scores` + strict NMS composition in ops/fast.py except at the
+    3-pixel border (handled by the caller's border mask; the XLA path uses
+    edge-padding there, this kernel zero-padding).
+    """
+    H, W = image.shape
+    band = 16  # small bands keep Mosaic's scoped-VMEM stack under its 16 MB limit
+    Hp = ((H + band - 1) // band) * band
+    padded = jnp.zeros((Hp + 2 * _HALO, W + 2 * _HALO), jnp.float32)
+    padded = padded.at[_HALO : _HALO + H, _HALO : _HALO + W].set(
+        image.astype(jnp.float32)
+    )
+    grid = (Hp // band,)
+    out = pl.pallas_call(
+        functools.partial(_fast_kernel, band=band, width=W),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],  # full padded image
+        out_specs=pl.BlockSpec((band, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Hp, W), jnp.float32),
+        interpret=interpret,
+    )(padded)
+    return out[:H]
