@@ -101,3 +101,74 @@ def test_stats_collected():
     assert s["keyframes"] == fe.get_num_poses()
     assert s["features_mean"] > 40
     assert 0 < s["stereo_survival_mean"] <= 1.0
+
+
+class TestBASolverCheckpoint:
+    """Mid-run BA solver snapshots + resume (backend/ba.py
+    save_solver_checkpoint / load_solver_checkpoint / optimize(resume=True))."""
+
+    def _problem(self):
+        from test_backend import synthetic_ba
+
+        cam, problem, _, _ = synthetic_ba(
+            P=6, L=80, pose_noise=0.05, lm_noise=0.3, px_noise=0.3, seed=3
+        )
+        return cam, problem
+
+    def test_resume_matches_uninterrupted(self, tmp_path):
+        from vision_slam_frontend_tpu.backend import BASolverConfig, optimize
+
+        cam, problem = self._problem()
+        solver = BASolverConfig(max_iterations=8)
+
+        full, full_info = optimize(problem, cam=cam, solver=solver)
+
+        # "Interrupted" run: stop after 3 LM iterations, snapshotting each one.
+        ckpt = str(tmp_path / "ba.ckpt.npz")
+        short = BASolverConfig(max_iterations=3)
+        optimize(problem, cam=cam, solver=short,
+                 checkpoint_path=ckpt, checkpoint_every=1)
+        import os
+
+        assert os.path.exists(ckpt)
+
+        # Resume in a fresh call: picks up at iteration 3, finishes the rest.
+        resumed, res_info = optimize(
+            problem, cam=cam, solver=solver,
+            checkpoint_path=ckpt, checkpoint_every=1, resume=True,
+        )
+        assert np.isclose(res_info["cost"], full_info["cost"], rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(resumed.poses_t), np.asarray(full.poses_t), atol=1e-4
+        )
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        from vision_slam_frontend_tpu.backend import (
+            load_solver_checkpoint,
+            save_solver_checkpoint,
+        )
+
+        _, problem = self._problem()
+        path = str(tmp_path / "rt.npz")
+        state = {"round": 1, "iter": 4, "lambda": 2.5e-4,
+                 "history": [10.0, 5.0, 3.0], "accepted": 2, "trimmed": 7}
+        save_solver_checkpoint(path, problem, state)
+        prob2, state2 = load_solver_checkpoint(path)
+        assert state2 == {**state, "lambda": 2.5e-4}
+        np.testing.assert_array_equal(
+            np.asarray(problem.obs_pixel), np.asarray(prob2.obs_pixel)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(problem.odom_q), np.asarray(prob2.odom_q)
+        )
+
+    def test_resume_without_checkpoint_is_fresh(self, tmp_path):
+        from vision_slam_frontend_tpu.backend import BASolverConfig, optimize
+
+        cam, problem = self._problem()
+        solver = BASolverConfig(max_iterations=2)
+        opt, info = optimize(
+            problem, cam=cam, solver=solver,
+            checkpoint_path=str(tmp_path / "none.npz"), resume=True,
+        )
+        assert info["iterations"] >= 1

@@ -10,13 +10,20 @@ per-observation XLA ops + segment reductions (shardable across a device mesh
 """
 
 from vision_slam_frontend_tpu.backend.tracks import build_ba_problem
-from vision_slam_frontend_tpu.backend.ba import BASolverConfig, optimize
+from vision_slam_frontend_tpu.backend.ba import (
+    BASolverConfig,
+    load_solver_checkpoint,
+    optimize,
+    save_solver_checkpoint,
+)
 from vision_slam_frontend_tpu.backend.metrics import ate_rmse, rpe_rmse
 
 __all__ = [
     "build_ba_problem",
     "BASolverConfig",
     "optimize",
+    "save_solver_checkpoint",
+    "load_solver_checkpoint",
     "ate_rmse",
     "rpe_rmse",
 ]

@@ -57,6 +57,53 @@ class BASolverConfig:
     trim_rounds: int = 2
 
 
+def save_solver_checkpoint(path: str, problem: BAProblem, state: dict) -> None:
+    """Atomically snapshot BA solver state mid-run.
+
+    The reference's backend is closed-source and its frontend is crash-only
+    (SURVEY.md section 5: a crash loses everything); here long BA runs are
+    resumable: the current problem estimate plus the LM state (round,
+    iteration, lambda, cost history) round-trip through one npz file.
+    """
+    import os
+
+    data = {}
+    for f in dataclasses.fields(problem):
+        v = getattr(problem, f.name)
+        if v is not None:
+            data["ba_" + f.name] = np.asarray(jax.device_get(v))
+    data["st_round"] = np.int64(state["round"])
+    data["st_iter"] = np.int64(state["iter"])
+    data["st_lambda"] = np.float64(state["lambda"])
+    data["st_history"] = np.asarray(state["history"], np.float64)
+    data["st_accepted"] = np.int64(state["accepted"])
+    data["st_trimmed"] = np.int64(state["trimmed"])
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:  # file object: savez won't append ".npz"
+        np.savez_compressed(f, **data)
+    os.replace(tmp, path)
+
+
+def load_solver_checkpoint(path: str) -> tuple[BAProblem, dict]:
+    """Restore (BAProblem, solver-state dict) saved by save_solver_checkpoint."""
+    with np.load(path) as raw:
+        data = dict(raw)
+    kwargs = {}
+    for f in dataclasses.fields(BAProblem):
+        key = "ba_" + f.name
+        if key in data:
+            kwargs[f.name] = jnp.asarray(data[key])
+    state = {
+        "round": int(data["st_round"]),
+        "iter": int(data["st_iter"]),
+        "lambda": float(data["st_lambda"]),
+        "history": [float(x) for x in data["st_history"]],
+        "accepted": int(data["st_accepted"]),
+        "trimmed": int(data["st_trimmed"]),
+    }
+    return BAProblem(**kwargs), state
+
+
 def _segsum(data, ids, num):
     return jax.ops.segment_sum(data, ids, num_segments=num)
 
@@ -404,10 +451,19 @@ def optimize(
     solver: BASolverConfig | None = None,
     cam: CameraParams | None = None,
     verbose: bool = False,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
 ):
     """Run LM to convergence (with optional outlier-trimming rounds).
 
+    With `checkpoint_path`, solver state is snapshotted every
+    `checkpoint_every` LM iterations; `resume=True` restarts from the last
+    snapshot if one exists (fresh run otherwise).
+
     Returns (optimized BAProblem, info dict)."""
+    import os
+
     solver = solver or BASolverConfig()
     if cam is None:
         if config is None:
@@ -417,7 +473,18 @@ def optimize(
     rounds = 1 + (solver.trim_rounds if solver.trim_threshold > 0 else 0)
     total_info = None
     n_trimmed_total = 0
-    if solver.trim_threshold > 0:
+    resume_state = None
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        problem, resume_state = load_solver_checkpoint(checkpoint_path)
+        n_trimmed_total = resume_state["trimmed"]
+        if verbose:
+            print(
+                f"[BA] resuming from {checkpoint_path}: round "
+                f"{resume_state['round']}, iter {resume_state['iter']}, "
+                f"lambda={resume_state['lambda']:.2e}"
+            )
+    start_round = resume_state["round"] if resume_state else 0
+    if solver.trim_threshold > 0 and resume_state is None:
         # Pre-trim at the INITIAL estimate: gross outliers are orders of
         # magnitude above the inlier residual scale before any optimization
         # pulls the estimate toward them, so a loose gate (10x the final
@@ -429,8 +496,18 @@ def optimize(
             print(f"[BA] pre-trim @ {10.0 * solver.trim_threshold:.0f}px: removed {n_pre} observations")
         n_trimmed_total += n_pre
         problem = problem.replace(obs_mask=pre_mask)
-    for rnd in range(rounds):
-        problem, info = _optimize_round(problem, solver, cam, verbose)
+    for rnd in range(start_round, rounds):
+        rs = resume_state if (resume_state and rnd == start_round) else None
+        ckpt_cb = None
+        if checkpoint_path:
+            def ckpt_cb(prob, st, _rnd=rnd):  # noqa: B023 — _rnd pins the loop var
+                st = dict(st, round=_rnd, trimmed=n_trimmed_total)
+                save_solver_checkpoint(checkpoint_path, prob, st)
+
+        problem, info = _optimize_round(
+            problem, solver, cam, verbose,
+            resume_state=rs, ckpt_cb=ckpt_cb, checkpoint_every=checkpoint_every,
+        )
         if total_info is None:
             total_info = info
         else:
@@ -463,6 +540,9 @@ def _optimize_round(
     solver: BASolverConfig,
     cam: CameraParams,
     verbose: bool = False,
+    resume_state: dict | None = None,
+    ckpt_cb=None,
+    checkpoint_every: int = 5,
 ):
 
     huber_on = solver.huber_delta > 0
@@ -474,8 +554,15 @@ def _optimize_round(
     cost = float(compute_cost(cam, problem, hd, wt, wr, huber_on))
     history = [cost]
     accepted = 0
+    start_iter = 0
+    if resume_state is not None:
+        lam = resume_state["lambda"]
+        history = list(resume_state["history"]) or [cost]
+        cost = history[-1]
+        accepted = resume_state["accepted"]
+        start_iter = resume_state["iter"]
     rejected_streak = 0
-    for it in range(solver.max_iterations):
+    for it in range(start_iter, solver.max_iterations):
         r, Jp, Jl, ro, Ji, Jj = _linearize(cam, problem, hd, wt, wr, huber_on)
         d_pose, d_lm, cg_res = _solve_schur_pcg(
             r, Jp, Jl, ro, Ji, Jj, problem,
@@ -496,16 +583,21 @@ def _optimize_round(
             accepted += 1
             rejected_streak = 0
             history.append(cost)
-            if rel < 1e-6:
-                break
+            stop = rel < 1e-6
         else:
             lam = min(lam * solver.lambda_up, 1e6)
             rejected_streak += 1
             history.append(cost)
             # Plateau: repeated rejections mean we're at the attainable
             # minimum for this linearization scale — stop burning iterations.
-            if lam >= 1e6 or rejected_streak >= 4:
-                break
+            stop = lam >= 1e6 or rejected_streak >= 4
+        if ckpt_cb and checkpoint_every > 0 and (stop or (it + 1) % checkpoint_every == 0):
+            ckpt_cb(
+                problem,
+                {"iter": it + 1, "lambda": lam, "history": history, "accepted": accepted},
+            )
+        if stop:
+            break
     return problem, {
         "cost": cost,
         "history": history,

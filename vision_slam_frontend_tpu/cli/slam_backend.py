@@ -31,6 +31,15 @@ def main(argv=None) -> int:
     p.add_argument("--trim_threshold", type=float, default=8.0)
     p.add_argument("--min_track_length", type=int, default=2)
     p.add_argument("--max_landmarks", type=int, default=None)
+    p.add_argument(
+        "--checkpoint", default=None,
+        help="snapshot solver state to this npz every --checkpoint_every LM iterations",
+    )
+    p.add_argument("--checkpoint_every", type=int, default=5)
+    p.add_argument(
+        "--resume", action="store_true",
+        help="resume from --checkpoint if it exists (fresh run otherwise)",
+    )
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -96,7 +105,11 @@ def main(argv=None) -> int:
         trim_threshold=args.trim_threshold,
     )
     t0 = time.perf_counter()
-    opt, info = optimize(ba, cam=cam, solver=solver, verbose=args.verbose)
+    opt, info = optimize(
+        ba, cam=cam, solver=solver, verbose=args.verbose,
+        checkpoint_path=args.checkpoint, checkpoint_every=args.checkpoint_every,
+        resume=args.resume,
+    )
     elapsed = time.perf_counter() - t0
     print(
         f"BA converged: cost {info['history'][0]:.1f} -> {info['cost']:.1f} in "
