@@ -50,6 +50,10 @@ class BASolverConfig:
     odom_t_weight: float = 30.0  # 1/sigma: ~3 cm translation noise
     odom_r_weight: float = 60.0  # ~1 deg rotation noise
     fix_first_pose: bool = True
+    # Sanitizer mode: validate each solver step host-side before applying it
+    # (utils/checks.check_ba_step) — catches non-finite updates at the
+    # iteration that produced them instead of as a rejected cost later.
+    validate: bool = False
     # Outlier trimming: after each LM convergence, drop observations whose
     # reprojection residual exceeds this (pixels) and re-optimize. Huber
     # bounds outlier *influence*; trimming removes their cost floor entirely.
@@ -568,6 +572,10 @@ def _optimize_round(
             r, Jp, Jl, ro, Ji, Jj, problem,
             jnp.float32(lam), solver.cg_iterations, solver.fix_first_pose,
         )
+        if solver.validate:
+            from vision_slam_frontend_tpu.utils.checks import check_ba_step
+
+            check_ba_step(it, d_pose, d_lm)
         candidate = _apply_step(problem, d_pose, d_lm)
         new_cost = float(compute_cost(cam, candidate, hd, wt, wr, huber_on))
         if verbose:

@@ -40,6 +40,10 @@ def main(argv=None) -> int:
         "--resume", action="store_true",
         help="resume from --checkpoint if it exists (fresh run otherwise)",
     )
+    p.add_argument(
+        "--validate", action="store_true",
+        help="sanitizer mode: check each solver step for non-finite updates",
+    )
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -103,6 +107,7 @@ def main(argv=None) -> int:
         max_iterations=args.max_iterations,
         huber_delta=args.huber_delta,
         trim_threshold=args.trim_threshold,
+        validate=args.validate,
     )
     t0 = time.perf_counter()
     opt, info = optimize(

@@ -161,6 +161,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--profile_dir", default=None,
         help="capture a jax.profiler trace of the run into this directory",
     )
+    p.add_argument(
+        "--validate", action="store_true",
+        help="sanitizer mode: check per-keyframe invariants (NaN/bounds/indices)",
+    )
     return p
 
 
@@ -178,6 +182,8 @@ def main(argv=None) -> int:
         overrides["frame_life"] = args.frame_life
     if args.save_debug:
         overrides["debug_images"] = True
+    if args.validate:
+        overrides["validate"] = True
     if args.config:
         config = FrontendConfig.load(args.config)
         for k, v in overrides.items():

@@ -68,6 +68,7 @@ class FrontendConfig:
     stereo_threshold_init: float = 10000.0      # adaptive epipolar gate seed (src/slam_frontend.cc:353)
     stereo_threshold_padding: float = 2.0       # running-average padding (src/slam_frontend.cc:392)
     debug_images: bool = False
+    validate: bool = False                      # per-keyframe invariant checks (utils/checks.py)
 
     # --- TPU capacities (static shapes) ---
     max_features: int = 512                     # K: per-frame feature capacity

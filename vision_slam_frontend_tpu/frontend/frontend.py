@@ -156,6 +156,12 @@ class Frontend:
             scale_factor=self.config.pyramid_scale,
         )
         r: KeyframeResult = jax.device_get(result)
+        if self.config.validate:
+            from vision_slam_frontend_tpu.utils.checks import check_keyframe_result
+
+            check_keyframe_result(
+                fid, r, np.shape(left_image)[:2], self.config.max_features
+            )
         self._accumulate(fid, r)
         # Per-keyframe observability (the reference's only metric is one
         # end-of-run summary line; SURVEY.md section 5).
