@@ -208,3 +208,31 @@ class TestHamming:
         np.testing.assert_array_equal(idx[1], np.arange(K))
         # Random frame 2: essentially no ratio-test survivors.
         assert matched[2].sum() < K // 4
+
+
+class TestBriefMethods:
+    def test_gather_mxu_equivalence(self):
+        """The two brief_describe implementations must produce (near-)identical
+        bits — 'mxu' compares in bf16, so allow a few near-tie flips."""
+        img = synthetic_corner_image(4).astype(np.float32)
+        blurred = gaussian_blur(jnp.asarray(img), 2.0)
+        kps, scores, valid = __import__(
+            "vision_slam_frontend_tpu.ops.fast", fromlist=["fast_detect"]
+        ).fast_detect(jnp.asarray(img), max_keypoints=64, border=19)
+        theta = compute_orientations(jnp.asarray(img), kps, valid)
+        d_g = brief_describe(blurred, kps, theta, valid, method="gather")
+        d_m = brief_describe(blurred, kps, theta, valid, method="mxu")
+        bg = np.asarray(unpack_bits(d_g))
+        bm = np.asarray(unpack_bits(d_m))
+        v = np.asarray(valid)
+        dist = np.sum(bg[v] != bm[v], axis=-1)
+        assert dist.max() <= 2, f"gather/mxu bit disagreement up to {dist.max()}"
+
+    def test_quantize_angle(self):
+        from vision_slam_frontend_tpu.ops.brief import NUM_BINS, quantize_angle
+
+        th = jnp.asarray([0.0, np.pi / 2, np.pi, -np.pi / 2, 2 * np.pi])
+        b = np.asarray(quantize_angle(th))
+        assert b[0] == 0 and b[1] == NUM_BINS // 4 and b[2] == NUM_BINS // 2
+        assert b[3] == 3 * NUM_BINS // 4 and b[4] == 0
+        assert ((0 <= b) & (b < NUM_BINS)).all()
