@@ -36,12 +36,14 @@ def make_problem(P, L, obs_per_lm, seed=0):
         axis=-1,
     )
     N = L * obs_per_lm
-    # Each landmark observed from obs_per_lm nearby poses.
+    # Each landmark observed from obs_per_lm nearby poses. Wraparound (not
+    # clip): clipping piled ~6k observations onto pose 0, a 13x per-pose skew
+    # no real trajectory has — it inflated the pose-major padded capacity Mp
+    # from ~1100 to 6488 and made every solver look 5x slower than the
+    # realistic balanced workload this benchmark is meant to represent.
     base_pose = np.clip((lm[:, 2] / 0.5).astype(np.int64), 0, P - 1)
     obs_lm = np.repeat(np.arange(L), obs_per_lm)
-    obs_pose = np.clip(
-        base_pose[obs_lm] - rng.integers(1, 12, N), 0, P - 1
-    ).astype(np.int32)
+    obs_pose = ((base_pose[obs_lm] - rng.integers(1, 12, N)) % P).astype(np.int32)
     rel = lm[obs_lm] - gt_t[obs_pose]
     z = np.maximum(rel[:, 2], 0.5)
     px = np.stack(
@@ -87,6 +89,11 @@ def main() -> None:
     ap.add_argument("--obs-per-lm", type=int, default=5)
     ap.add_argument("--poses", type=int, default=500)
     ap.add_argument("--cg-iters", type=int, default=32)
+    ap.add_argument(
+        "--solver", choices=["dense", "pcg"], default="dense",
+        help="inner reduced-camera solver (dense Cholesky is the fast path "
+        "at this pose count; pcg is the matrix-free/distributed form)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -95,6 +102,7 @@ def main() -> None:
     from vision_slam_frontend_tpu.backend.ba import (
         _apply_step,
         _linearize,
+        _solve_schur_dense,
         _solve_schur_pcg,
     )
     from vision_slam_frontend_tpu.backend.residuals import CameraParams
@@ -113,9 +121,14 @@ def main() -> None:
 
     def one_iter(p):
         r, Jp, Jl, ro, Ji, Jj = _linearize(cam, p, hd, wt, wr, True)
-        d_pose, d_lm, res = _solve_schur_pcg(
-            r, Jp, Jl, ro, Ji, Jj, p, lam, args.cg_iters, True
-        )
+        if args.solver == "dense":
+            d_pose, d_lm, res = _solve_schur_dense(
+                r, Jp, Jl, ro, Ji, Jj, p, lam, True
+            )
+        else:
+            d_pose, d_lm, res = _solve_schur_pcg(
+                r, Jp, Jl, ro, Ji, Jj, p, lam, args.cg_iters, True
+            )
         return _apply_step(p, d_pose, d_lm)
 
     # Warmup / compile.
@@ -136,7 +149,7 @@ def main() -> None:
             {
                 "metric": "ba_lm_iterations_per_sec_100k_landmarks",
                 "value": round(ips, 3),
-                "unit": f"LM iters/s (P={args.poses}, L={args.landmarks}, "
+                "unit": f"LM iters/s (P={args.poses}, L={args.landmarks}, solver={args.solver}, "
                 f"N={args.landmarks * args.obs_per_lm}, cg={args.cg_iters})",
                 "vs_baseline": round(ips / 1.0, 3),
             }

@@ -218,3 +218,57 @@ class TestMetrics:
         gt = np.cumsum(np.ones((10, 3)) * 0.1, axis=0)
         est = gt + np.random.default_rng(6).normal(0, 0.01, gt.shape)
         assert rpe_rmse(est, gt) < 0.05
+
+
+class TestDenseSchur:
+    """Dense-Cholesky reduced-camera solve vs matrix-free PCG (backend/ba.py
+    _solve_schur_dense): same step, same optimum."""
+
+    def test_dense_matches_pcg_step(self):
+        import jax.numpy as jnp
+
+        from vision_slam_frontend_tpu.backend.ba import (
+            _linearize,
+            _solve_schur_dense,
+            _solve_schur_pcg,
+        )
+
+        cam, problem, _, _ = synthetic_ba(
+            P=7, L=90, pose_noise=0.04, lm_noise=0.25, px_noise=0.2, seed=5
+        )
+        hd, wt, wr = jnp.float32(4.0), jnp.float32(30.0), jnp.float32(60.0)
+        lam = jnp.float32(1e-3)
+        r, Jp, Jl, ro, Ji, Jj = _linearize(cam, problem, hd, wt, wr, True)
+        dp_d, dl_d, _ = _solve_schur_dense(r, Jp, Jl, ro, Ji, Jj, problem, lam, True)
+        dp_p, dl_p, _ = _solve_schur_pcg(
+            r, Jp, Jl, ro, Ji, Jj, problem, lam, 200, True
+        )
+        # Both inner solvers approximate the same Newton step (dense builds
+        # the coupling in bf16, PCG truncates) — they must agree to a few
+        # percent of the step scale, and both must be descent directions.
+        scale = np.abs(np.asarray(dp_p)).max()
+        np.testing.assert_allclose(
+            np.asarray(dp_d), np.asarray(dp_p), atol=8e-2 * scale
+        )
+        lscale = np.abs(np.asarray(dl_p)).max()
+        np.testing.assert_allclose(
+            np.asarray(dl_d), np.asarray(dl_p), atol=8e-2 * lscale
+        )
+
+    def test_dense_and_pcg_reach_same_optimum(self):
+        cam, problem, gt_t, _ = synthetic_ba(
+            P=8, L=100, pose_noise=0.05, lm_noise=0.3, px_noise=0.3, seed=6
+        )
+        opt_d, info_d = optimize(
+            problem, cam=cam,
+            solver=BASolverConfig(max_iterations=10, schur_solver="dense"),
+        )
+        opt_p, info_p = optimize(
+            problem, cam=cam,
+            solver=BASolverConfig(max_iterations=10, schur_solver="pcg",
+                                  cg_iterations=128),
+        )
+        assert abs(info_d["cost"] - info_p["cost"]) / max(info_p["cost"], 1e-9) < 0.05
+        ate_d = ate_rmse(np.asarray(opt_d.poses_t), gt_t)
+        ate_p = ate_rmse(np.asarray(opt_p.poses_t), gt_t)
+        assert abs(ate_d - ate_p) < 0.01
