@@ -93,6 +93,59 @@ class TestShardedBA:
             shard_ba_problem(problem, mesh8)
 
 
+class TestLandmarkShardedDense:
+    """Landmark-sharded dense Schur solver (parallel/sharded_ba.py
+    optimize_sharded_dense): local landmark elimination per shard, psum'd
+    reduced camera system, replicated Cholesky."""
+
+    def test_shard_layout_partitions_observations(self, mesh8):
+        from vision_slam_frontend_tpu.parallel import build_lm_sharded
+
+        cam, problem, *_ = _fixture(seed=21)
+        data = build_lm_sharded(problem, 8)
+        L = problem.landmarks.shape[0]
+        Lb = L // 8
+        # Every real observation appears exactly once, in its landmark's shard.
+        total = int(np.sum(data["msk"]))
+        assert total == int(np.asarray(problem.obs_mask).sum())
+        for k in range(8):
+            m = data["msk"][k]
+            assert np.all(data["ol_g"][k][m] // Lb == k)
+            # Local table points back at slots holding that landmark.
+            tm = data["lm_msk"][k]
+            rows, cols = np.nonzero(tm)
+            assert np.all(data["ol_l"][k][data["lm_tbl"][k][rows, cols]] == rows)
+
+    def test_sharded_dense_matches_single_device(self, mesh8):
+        from vision_slam_frontend_tpu.parallel import optimize_sharded_dense
+
+        cam, problem, gt_t, _ = _fixture(
+            pose_noise=0.05, lm_noise=0.2, px_noise=0.3, seed=22
+        )
+        solver = BASolverConfig(max_iterations=8, schur_solver="dense")
+        opt_single, info_single = optimize(problem, cam=cam, solver=solver)
+        opt_shard, info_shard = optimize_sharded_dense(
+            problem, mesh8, cam=cam, solver=solver
+        )
+        np.testing.assert_allclose(
+            np.asarray(opt_shard.poses_t), np.asarray(opt_single.poses_t), atol=2e-2
+        )
+        ate_s = ate_rmse(np.asarray(opt_single.poses_t), gt_t, align=False)
+        ate_d = ate_rmse(np.asarray(opt_shard.poses_t), gt_t, align=False)
+        assert abs(ate_s - ate_d) < 5e-3
+        assert ate_d < 0.02
+
+    def test_indivisible_landmarks_rejected(self, mesh8):
+        from vision_slam_frontend_tpu.parallel import build_lm_sharded
+
+        cam, problem, *_ = _fixture(seed=23)
+        bad = problem.replace(
+            landmarks=problem.landmarks[:-3], landmark_mask=problem.landmark_mask[:-3]
+        )
+        with pytest.raises(ValueError, match="not divisible"):
+            build_lm_sharded(bad, 8)
+
+
 class TestMultichipDryrun:
     def test_graft_dryrun(self):
         import __graft_entry__ as g

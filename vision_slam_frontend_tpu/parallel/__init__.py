@@ -4,6 +4,8 @@ from vision_slam_frontend_tpu.parallel.mesh import make_mesh, initialize_distrib
 from vision_slam_frontend_tpu.parallel.sharded_ba import (
     shard_ba_problem,
     optimize_sharded,
+    optimize_sharded_dense,
+    build_lm_sharded,
 )
 
 __all__ = [
@@ -11,4 +13,6 @@ __all__ = [
     "initialize_distributed",
     "shard_ba_problem",
     "optimize_sharded",
+    "optimize_sharded_dense",
+    "build_lm_sharded",
 ]
