@@ -106,6 +106,34 @@ def test_backend_cli(tmp_path, capsys):
     assert os.path.getsize(ply_path) > 100
 
 
+def test_backend_cli_distributed_dense(tmp_path, capsys):
+    """--devices shards the solve over the virtual mesh; --schur_solver picks
+    the inner solver; both converge to the summary line."""
+    from vision_slam_frontend_tpu.cli.slam_backend import main as backend_main
+    from vision_slam_frontend_tpu.cli.slam_frontend import main as frontend_main
+
+    problem_path = str(tmp_path / "problem.npz")
+    rc = frontend_main(
+        ["--input", "synthetic:8", "--output", problem_path,
+         "--max_features", "192", "--frame_life", "4"]
+    )
+    assert rc == 0
+    rc = backend_main(
+        ["--input", problem_path, "--output", str(tmp_path / "s1.npz"),
+         "--schur_solver", "dense", "--max_iterations", "4"]
+    )
+    assert rc == 0
+    rc = backend_main(
+        ["--input", problem_path, "--output", str(tmp_path / "s2.npz"),
+         "--devices", "8", "--max_iterations", "4"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Sharded" in out and out.count("BA converged:") == 2
+    with np.load(str(tmp_path / "s1.npz")) as d1, np.load(str(tmp_path / "s2.npz")) as d2:
+        np.testing.assert_allclose(d1["nodes_loc"], d2["nodes_loc"], atol=2e-2)
+
+
 def test_backend_cli_missing_input(capsys):
     from vision_slam_frontend_tpu.cli.slam_backend import main
 

@@ -77,6 +77,41 @@ class TestShardedBA:
         assert abs(ate_s - ate_d) < 5e-3
         assert ate_d < 0.02
 
+    def test_stereo_and_fixed_fields_preserved(self, mesh8):
+        """Regression: shard_ba_problem used to silently drop the stereo
+        observation fields and pose_fixed, weakening the distributed solve."""
+        import jax.numpy as jnp
+
+        cam, problem, *_ = _fixture(seed=14)
+        N = problem.obs_pixel.shape[0]
+        pad = (-N) % 8
+        if pad:
+            problem = problem.replace(
+                obs_pose=jnp.pad(problem.obs_pose, (0, pad)),
+                obs_landmark=jnp.pad(problem.obs_landmark, (0, pad)),
+                obs_pixel=jnp.pad(problem.obs_pixel, ((0, pad), (0, 0))),
+                obs_mask=jnp.pad(problem.obs_mask, (0, pad)),
+            )
+        P = problem.poses_t.shape[0]
+        problem = problem.replace(
+            obs_pixel_right=problem.obs_pixel + jnp.array([5.0, 0.0]),
+            obs_right_mask=problem.obs_mask,
+            pose_fixed=jnp.zeros(P, bool).at[1].set(True),
+        )
+        sharded = shard_ba_problem(problem, mesh8)
+        assert sharded.obs_pixel_right is not None
+        assert len(sharded.obs_pixel_right.sharding.device_set) == 8
+        assert sharded.obs_right_mask is not None
+        assert sharded.pose_fixed is not None
+        assert sharded.pose_fixed.sharding.is_fully_replicated
+        # Fixed pose survives the sharded solve unchanged.
+        opt, _ = optimize(
+            sharded, cam=cam, solver=BASolverConfig(max_iterations=2)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(opt.poses_t[1]), np.asarray(problem.poses_t[1])
+        )
+
     def test_indivisible_capacity_rejected(self, mesh8):
         import jax.numpy as jnp
 

@@ -732,11 +732,19 @@ def _optimize_round(
         accepted = resume_state["accepted"]
         start_iter = resume_state["iter"]
     rejected_streak = 0
-    use_dense = solver.schur_solver == "dense" or (
-        solver.schur_solver == "auto"
-        and problem.pose_obs is not None
-        and problem.poses_t.shape[0] <= solver.dense_max_poses
+    # Dense needs the pose-major gather tables; observation-sharded problems
+    # drop them (parallel/sharded_ba.shard_ba_problem), so even an explicit
+    # "dense" request falls back to PCG there (the distributed-appropriate
+    # form — the landmark-sharded dense path lives in optimize_sharded_dense).
+    use_dense = problem.pose_obs is not None and (
+        solver.schur_solver == "dense"
+        or (
+            solver.schur_solver == "auto"
+            and problem.poses_t.shape[0] <= solver.dense_max_poses
+        )
     )
+    if solver.schur_solver == "dense" and not use_dense and verbose:
+        print("[BA] no gather tables (sharded problem?): dense -> PCG fallback")
     for it in range(start_iter, solver.max_iterations):
         r, Jp, Jl, ro, Ji, Jj = _linearize(cam, problem, hd, wt, wr, huber_on)
         if use_dense:

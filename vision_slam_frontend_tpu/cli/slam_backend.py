@@ -44,6 +44,17 @@ def main(argv=None) -> int:
         "--validate", action="store_true",
         help="sanitizer mode: check each solver step for non-finite updates",
     )
+    p.add_argument(
+        "--schur_solver", choices=["auto", "dense", "pcg"], default="auto",
+        help="inner reduced-camera solver: dense Cholesky (exact, fastest up "
+        "to ~1-2k poses) or matrix-free PCG (scales past that / distributed)",
+    )
+    p.add_argument("--cg_iterations", type=int, default=32)
+    p.add_argument(
+        "--devices", type=int, default=0,
+        help="shard the solve over the first N local devices (0 = single "
+        "device). Observations shard over a 1-D mesh; reductions psum over ICI",
+    )
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -108,8 +119,32 @@ def main(argv=None) -> int:
         huber_delta=args.huber_delta,
         trim_threshold=args.trim_threshold,
         validate=args.validate,
+        schur_solver=args.schur_solver,
+        cg_iterations=args.cg_iterations,
     )
     t0 = time.perf_counter()
+    if args.devices > 1:
+        from vision_slam_frontend_tpu.parallel import make_mesh, shard_ba_problem
+
+        mesh = make_mesh(args.devices)
+        # Pad observation capacity up to the mesh size if needed.
+        N = ba.obs_pixel.shape[0]
+        pad = (-N) % args.devices
+        if pad:
+            import jax.numpy as _jnp
+
+            ba = ba.replace(
+                obs_pose=_jnp.pad(ba.obs_pose, (0, pad)),
+                obs_landmark=_jnp.pad(ba.obs_landmark, (0, pad)),
+                obs_pixel=_jnp.pad(ba.obs_pixel, ((0, pad), (0, 0))),
+                obs_mask=_jnp.pad(ba.obs_mask, (0, pad)),
+                obs_pixel_right=_jnp.pad(ba.obs_pixel_right, ((0, pad), (0, 0)))
+                if ba.obs_pixel_right is not None else None,
+                obs_right_mask=_jnp.pad(ba.obs_right_mask, (0, pad))
+                if ba.obs_right_mask is not None else None,
+            )
+        ba = shard_ba_problem(ba, mesh)
+        print(f"Sharded {n_obs} observations over {args.devices} devices")
     opt, info = optimize(
         ba, cam=cam, solver=solver, verbose=args.verbose,
         checkpoint_path=args.checkpoint, checkpoint_every=args.checkpoint_every,

@@ -56,6 +56,18 @@ def shard_ba_problem(problem: BAProblem, mesh, axis_name: str = "data") -> BAPro
         obs_landmark=put(problem.obs_landmark, obs_shard),
         obs_pixel=put(problem.obs_pixel, obs_shard),
         obs_mask=put(problem.obs_mask, obs_shard),
+        obs_pixel_right=(
+            put(problem.obs_pixel_right, obs_shard)
+            if problem.obs_pixel_right is not None else None
+        ),
+        obs_right_mask=(
+            put(problem.obs_right_mask, obs_shard)
+            if problem.obs_right_mask is not None else None
+        ),
+        pose_fixed=(
+            put(problem.pose_fixed, replicated)
+            if problem.pose_fixed is not None else None
+        ),
         odom_i=put(problem.odom_i, replicated),
         odom_j=put(problem.odom_j, replicated),
         odom_t=put(problem.odom_t, replicated),
