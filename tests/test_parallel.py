@@ -181,6 +181,67 @@ class TestLandmarkShardedDense:
             build_lm_sharded(bad, 8)
 
 
+class TestSingleStepParity:
+    """One LM iteration from an identical linearization point must agree
+    across every solver formulation to ~1e-4 — solver-math drift can't hide
+    inside trajectory-level tolerances here."""
+
+    def test_one_step_all_formulations(self, mesh8):
+        import jax.numpy as jnp
+
+        from vision_slam_frontend_tpu.parallel import optimize_sharded_dense
+
+        cam, problem, *_ = _fixture(
+            pose_noise=0.03, lm_noise=0.1, px_noise=0.3, seed=31
+        )
+        N = problem.obs_pixel.shape[0]
+        pad = (-N) % 8
+        padded = problem.replace(
+            obs_pose=jnp.pad(problem.obs_pose, (0, pad)),
+            obs_landmark=jnp.pad(problem.obs_landmark, (0, pad)),
+            obs_pixel=jnp.pad(problem.obs_pixel, ((0, pad), (0, 0))),
+            obs_mask=jnp.pad(problem.obs_mask, (0, pad)),
+        ) if pad else problem
+
+        one = dict(max_iterations=1, init_lambda=1e-3)
+
+        # (a) The two EXACT solvers (single-chip dense Schur, lm-sharded
+        # dense Schur) must produce the same step to float-reduction order.
+        dense = BASolverConfig(schur_solver="dense", **one)
+        p_dense, _ = optimize(problem, cam=cam, solver=dense)
+        p_lms, _ = optimize_sharded_dense(problem, mesh8, cam=cam, solver=dense)
+        ref = np.asarray(p_dense.poses_t)
+        np.testing.assert_allclose(
+            np.asarray(p_lms.poses_t), ref, atol=2e-4,
+            err_msg="single-step divergence: lm-sharded dense vs dense",
+        )
+
+        # (b) One CG iteration is preconditioned steepest descent — no
+        # recurrence to amplify rounding — so b, M^-1 and S.p of every PCG
+        # formulation are pinned directly. (Deep CG runs on an
+        # ill-conditioned system are chaotic in f32: at cg=200 even the SAME
+        # scatter algorithm, sharded vs not, drifts to ~3e-3; that is float
+        # recurrence behaviour, not solver math.)
+        pcg1 = BASolverConfig(schur_solver="pcg", cg_iterations=1, **one)
+        nogt = problem.replace(
+            pose_obs=None, pose_obs_mask=None, lm_obs=None, lm_obs_mask=None
+        )
+        p_scatter, _ = optimize(nogt, cam=cam, solver=pcg1)
+        p_posemajor, _ = optimize(problem, cam=cam, solver=pcg1)
+        p_obs, _ = optimize_sharded(padded, mesh8, cam=cam, solver=pcg1)
+        ref1 = np.asarray(p_scatter.poses_t)
+        for name, other in [("pose-major", p_posemajor), ("obs-sharded", p_obs)]:
+            np.testing.assert_allclose(
+                np.asarray(other.poses_t), ref1, atol=1e-4,
+                err_msg=f"single-CG-step divergence: {name} vs scatter",
+            )
+
+        # (c) Converged PCG lands in the dense step's neighbourhood.
+        pcg = BASolverConfig(schur_solver="pcg", cg_iterations=200, **one)
+        p_pcg, _ = optimize(problem, cam=cam, solver=pcg)
+        np.testing.assert_allclose(np.asarray(p_pcg.poses_t), ref, atol=1e-2)
+
+
 class TestMultichipDryrun:
     def test_graft_dryrun(self):
         import __graft_entry__ as g

@@ -1,0 +1,168 @@
+"""Segment-parallel (pose-chain sharded) BA: partition invariants, convergence
+to the joint optimum, mesh-sharded execution, and the beyond-dense-ceiling
+regime no other dense path can reach."""
+
+import numpy as np
+import pytest
+import jax
+
+from vision_slam_frontend_tpu.backend import BASolverConfig, ate_rmse, optimize
+from vision_slam_frontend_tpu.io.synthetic import synthetic_ba_problem
+from vision_slam_frontend_tpu.parallel import (
+    build_segments,
+    make_mesh,
+    optimize_segments,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must force an 8-device CPU mesh"
+    return make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def world():
+    return synthetic_ba_problem(
+        P=128, L=2048, obs_per_lm=5, seed=3, stereo=True, pose_noise=0.08
+    )
+
+
+class TestBuildSegments:
+    @pytest.mark.parametrize("offset", [0, 8, 13])
+    def test_partition_invariants(self, world, offset):
+        cam, problem, gt_t, gt_lm = world
+        n_seg = 8
+        stacked, info = build_segments(problem, n_seg, offset=offset)
+        P = problem.poses_t.shape[0]
+        # Every pose is core-owned exactly once, with the right state.
+        own = info["pose_own"]
+        gids = info["pose_gid"][own]
+        assert sorted(gids.tolist()) == list(range(P))
+        np.testing.assert_allclose(
+            np.asarray(stacked.poses_t)[own],
+            np.asarray(problem.poses_t)[gids],
+        )
+        # Every valid observation appears exactly once across segments.
+        assert int(np.asarray(stacked.obs_mask).sum()) == int(
+            np.asarray(problem.obs_mask).sum()
+        )
+        # Interior + junction odometry factors partition all factors.
+        n_interior = int(np.asarray(stacked.odom_mask).sum())
+        n_junction = info["jn_a"].shape[0]
+        assert n_interior + n_junction == int(np.asarray(problem.odom_mask).sum())
+        # Each landmark owned by at most one segment; owners cover all
+        # landmarks that have at least one observation.
+        lown = info["lm_own"]
+        owned_gids = info["lm_gid"][lown]
+        assert len(owned_gids) == len(set(owned_gids.tolist()))
+        observed = set(
+            np.asarray(problem.obs_landmark)[np.asarray(problem.obs_mask)].tolist()
+        )
+        assert observed == set(owned_gids.tolist())
+        # Ties reference the same global landmark in both segments.
+        for a, b, la, lb, lid in zip(
+            info["tie_a"], info["tie_b"], info["tie_la"], info["tie_lb"],
+            info["tie_lid"],
+        ):
+            assert info["lm_gid"][a, la] == lid
+            assert info["lm_gid"][b, lb] == lid
+        # Local gauges: first pose of each segment frozen.
+        assert bool(np.asarray(stacked.pose_fixed)[:, 0].all())
+
+    def test_invalid_n_seg(self, world):
+        cam, problem, *_ = world
+        with pytest.raises(ValueError, match="invalid"):
+            build_segments(problem, 0)
+        with pytest.raises(ValueError, match="invalid"):
+            build_segments(problem, 10_000)
+
+
+class TestOptimizeSegments:
+    def test_matches_joint_optimum(self, world):
+        """Two-level sweeps + PCG polish land on the joint LM optimum."""
+        cam, problem, gt_t, gt_lm = world
+        solver = BASolverConfig(max_iterations=12)
+        opt_g, info_g = optimize(problem, cam=cam, solver=solver)
+        opt_s, info_s = optimize_segments(
+            problem, cam=cam, solver=solver, n_seg=4, sweeps=4
+        )
+        # Same cost basin (within 2%), and both dramatically below init.
+        assert info_s["cost"] < 1.02 * info_g["cost"] + 1e-6
+        assert info_s["cost"] < 0.01 * info_s["history"][0]
+        ate_g = ate_rmse(np.asarray(opt_g.poses_t), gt_t, align=False)
+        ate_s = ate_rmse(np.asarray(opt_s.poses_t), gt_t, align=False)
+        ate_0 = ate_rmse(np.asarray(problem.poses_t), gt_t, align=False)
+        assert ate_s < ate_0
+        assert ate_s < 2.0 * ate_g + 5e-3
+
+    def test_monotone_history(self, world):
+        cam, problem, *_ = world
+        _, info = optimize_segments(
+            problem, cam=cam, solver=BASolverConfig(max_iterations=6),
+            n_seg=4, sweeps=3, polish_iterations=0,
+        )
+        h = info["history"]
+        assert all(b <= a + 1e-6 for a, b in zip(h[:-1], h[1:]))
+
+    def test_sharded_matches_unsharded(self, world, mesh8):
+        cam, problem, gt_t, _ = world
+        solver = BASolverConfig(max_iterations=8)
+        opt_u, info_u = optimize_segments(
+            problem, cam=cam, solver=solver, n_seg=8, sweeps=2,
+            polish_iterations=0,
+        )
+        opt_m, info_m = optimize_segments(
+            problem, mesh=mesh8, cam=cam, solver=solver, n_seg=8, sweeps=2,
+            polish_iterations=0,
+        )
+        # Identical decomposition and math; sharding may only perturb float
+        # reduction order.
+        assert abs(info_m["cost"] - info_u["cost"]) < 1e-2 * info_u["cost"] + 1e-3
+        np.testing.assert_allclose(
+            np.asarray(opt_m.poses_t), np.asarray(opt_u.poses_t), atol=2e-3
+        )
+
+    def test_beyond_dense_ceiling(self, mesh8):
+        """P well above dense_max_poses (1024): the regime where the global
+        6P x 6P dense solver is out of reach; segments + sharded-PCG polish
+        must still converge. This is the long-trajectory scaling path."""
+        import jax.numpy as jnp
+
+        from vision_slam_frontend_tpu.backend.ba import compute_cost
+
+        P = 1536
+        cam, problem, gt_t, gt_lm = synthetic_ba_problem(
+            P=P, L=8192, obs_per_lm=4, seed=7, stereo=True,
+            pose_noise=0.01, pose_walk=0.02,
+        )
+        solver = BASolverConfig(max_iterations=8)
+        assert problem.poses_t.shape[0] > solver.dense_max_poses
+        opt, info = optimize_segments(
+            problem, mesh=mesh8, cam=cam, solver=solver, n_seg=8, sweeps=2,
+            polish_iterations=2,
+        )
+        assert np.isfinite(info["cost"])
+        assert info["cost"] < 0.01 * info["history"][0]
+        # Optimality: the ground-truth configuration is feasible, so a
+        # converged solver must land at or below its cost neighbourhood.
+        # (ATE itself is weakly observable here: a smooth 1.4 m drift over
+        # 1536 poses costs ~1 mm/step of odometry residual — pennies — so a
+        # cost-optimal solution can legitimately keep most of the drift.)
+        yaw = 0.005 * np.arange(P)
+        gt_q = np.stack(
+            [np.cos(yaw / 2), np.zeros(P), np.sin(yaw / 2), np.zeros(P)], -1
+        )
+        gt_cost = float(compute_cost(
+            cam,
+            problem.replace(
+                poses_t=jnp.asarray(gt_t),
+                poses_q=jnp.asarray(gt_q, jnp.float32),
+                landmarks=jnp.asarray(gt_lm),
+            ),
+            jnp.float32(solver.huber_delta),
+            jnp.float32(solver.odom_t_weight),
+            jnp.float32(solver.odom_r_weight),
+            True,
+        ))
+        assert info["cost"] < 2.0 * gt_cost

@@ -377,6 +377,33 @@ def _inv_lower3(G):
     )
 
 
+def _bbt_compensated(Bt_chunk, oh):
+    """(6P, 6P) coupling contribution B B^T via compensated bf16 matmuls.
+
+    Bt_chunk: (lc, Ml, 6, 3) f32 per-landmark W G^{-T} blocks;
+    oh: (lc, Ml, P) bool one-hot pose placement (exactly one landmark
+    observation per (pose, landmark) slot, so the placement einsum is pure
+    scatter — exact in bf16 up to input rounding).
+
+    A single bf16 pass has ~2^-8 relative error; on real problems that error
+    (thousands, absolute) exceeds the Schur complement's smallest eigenvalues
+    and makes S indefinite -> NaN Cholesky (measured: min-eig -4.5 vs exact
+    +0.57 on a P=64 synthetic). Splitting B = hi + lo (both bf16) and
+    computing hi hi^T + hi lo^T + (hi lo^T)^T cuts the error ~256x
+    (min-eig +0.63) for 2x the MXU work — still far cheaper than f32.
+    """
+    P = oh.shape[-1]
+    lc = Bt_chunk.shape[0]
+    hi = Bt_chunk.astype(jnp.bfloat16)
+    lo = (Bt_chunk - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    ohb = oh.astype(jnp.bfloat16)
+    Bhi = jnp.einsum("lmis,lmp->pils", hi, ohb).reshape(6 * P, 3 * lc)
+    Blo = jnp.einsum("lmis,lmp->pils", lo, ohb).reshape(6 * P, 3 * lc)
+    HH = jax.lax.dot(Bhi, Bhi.T, preferred_element_type=jnp.float32)
+    HL = jax.lax.dot(Bhi, Blo.T, preferred_element_type=jnp.float32)
+    return HH + HL + HL.T
+
+
 @partial(jax.jit, static_argnames=("fix_first",))
 def _solve_schur_dense(
     r, Jp, Jl, ro, Ji, Jj, problem: BAProblem, lm_damping, fix_first: bool,
@@ -386,8 +413,9 @@ def _solve_schur_dense(
     TPU-idiomatic alternative to matrix-free PCG for small/medium pose counts
     (6P x 6P fits HBM comfortably up to P ~ 2000): the Schur complement
         S = U + lambda*I - B B^T,   B = W V^{-1/2}  (W = Jp^T Jl per pair)
-    is materialized with chunked bf16 MXU matmuls (f32 accumulation) and
-    solved EXACTLY with one dense Cholesky. Matrix-free PCG pays two
+    is materialized with chunked compensated-bf16 MXU matmuls (hi/lo split,
+    f32 accumulation — see _bbt_compensated) and solved EXACTLY with one
+    dense Cholesky. Matrix-free PCG pays two
     transaction-bound small-row gathers per CG iteration (~20 ms each at
     500k observations on this hardware); here ALL per-iteration gathers
     vanish and the MXU does the coupling term at speed of light. Measured
@@ -466,15 +494,8 @@ def _solve_schur_dense(
     chunk = 8192
     for l0 in range(0, L, chunk):
         lc = min(chunk, L - l0)
-        Bt_c = Bt[l0 : l0 + lc].astype(jnp.bfloat16)  # (lc, Ml, 6, 3)
-        oh = (
-            pose_of[l0 : l0 + lc, :, None] == ar[None, None, :]
-        ).astype(jnp.bfloat16)  # (lc, Ml, P)
-        Bc = jnp.einsum("lmis,lmp->pils", Bt_c, oh)  # (P, 6, lc, 3)
-        B2 = Bc.reshape(6 * P, 3 * lc)
-        S2 = S2 - jax.lax.dot(
-            B2, B2.T, preferred_element_type=jnp.float32
-        )
+        oh = pose_of[l0 : l0 + lc, :, None] == ar[None, None, :]  # (lc, Ml, P)
+        S2 = S2 - _bbt_compensated(Bt[l0 : l0 + lc], oh)
 
     # --- Gauge: zero fixed rows/cols, identity on their diagonal blocks.
     free6 = jnp.repeat(free, 6)
@@ -591,6 +612,55 @@ def _solve_schur_pcg_scatter(
     d_lm = jnp.einsum("ljk,lk->lj", V_inv, g_lm - wtd)
 
     return d_pose, d_lm, jnp.linalg.norm(rr)
+
+
+@partial(jax.jit, static_argnames=("iters", "cfg_huber_enabled"))
+def refit_landmarks(cam, problem: BAProblem, huber_delta, iters: int, cfg_huber_enabled: bool):
+    """Landmark-only Gauss-Newton refit with poses held fixed.
+
+    The structure half of resection–intersection: each landmark's 3x3 normal
+    system is exactly solvable and independent, so the whole refit is one
+    batched program (and shards trivially by landmark). Used by the
+    segment-parallel solver to reconcile duplicated landmark copies after a
+    pose sweep; each inner iteration strictly decreases the global
+    reprojection cost in the Gauss-Newton sense.
+    """
+    L = problem.landmarks.shape[0]
+
+    def one(prob):
+        r, _, Jl = linearize_reprojection(
+            cam, prob.poses_t, prob.poses_q, prob.landmarks,
+            prob.obs_pose, prob.obs_landmark, prob.obs_pixel, prob.obs_mask,
+            prob.obs_pixel_right, prob.obs_right_mask,
+        )
+        if cfg_huber_enabled:
+            w = huber_weights(r, huber_delta)[:, None]
+            r = r * w
+            Jl = Jl * w[..., None]
+        if prob.lm_obs is not None:
+            lm_tbl = prob.lm_obs
+            lm_mask = prob.lm_obs_mask.astype(r.dtype)[..., None]
+            # lm_obs indexes the pose-major flat (P*Mp) space; map back to
+            # flat observation ids via pose_obs.
+            flat_ids = prob.pose_obs.reshape(-1)[lm_tbl]
+            r_lm = r[flat_ids] * lm_mask
+            Jl_lm = Jl[flat_ids] * lm_mask[..., None]
+            V = jnp.einsum("lmij,lmik->ljk", Jl_lm, Jl_lm)
+            g = -jnp.einsum("lmij,lmi->lj", Jl_lm, r_lm)
+        else:
+            V = _segsum(jnp.einsum("nij,nik->njk", Jl, Jl), prob.obs_landmark, L)
+            g = -_segsum(jnp.einsum("nij,ni->nj", Jl, r), prob.obs_landmark, L)
+        tr = V[..., 0, 0] + V[..., 1, 1] + V[..., 2, 2]
+        V = V + (1e-6 * tr[:, None, None] / 3.0 + 1e-9) * jnp.eye(3)[None]
+        d = jnp.einsum("ljk,lk->lj", _sym3_inv(V), g)
+        # Landmarks with no (valid) observations keep their value.
+        has_obs = tr > 1e-12
+        d = jnp.where(has_obs[:, None], d, 0.0)
+        return prob.replace(landmarks=prob.landmarks + d)
+
+    for _ in range(iters):
+        problem = one(problem)
+    return problem
 
 
 @jax.jit
@@ -778,7 +848,11 @@ def _optimize_round(
             history.append(cost)
             stop = rel < 1e-6
         else:
-            lam = min(lam * solver.lambda_up, 1e6)
+            # Non-finite candidate = the damped system went numerically
+            # indefinite; escalate lambda much faster than a plain cost
+            # rejection so the solver recovers in one or two iterations.
+            up = solver.lambda_up if np.isfinite(new_cost) else solver.lambda_up**3
+            lam = min(lam * up, 1e6)
             rejected_streak += 1
             history.append(cost)
             # Plateau: repeated rejections mean we're at the attainable

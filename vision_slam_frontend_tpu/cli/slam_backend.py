@@ -45,15 +45,29 @@ def main(argv=None) -> int:
         help="sanitizer mode: check each solver step for non-finite updates",
     )
     p.add_argument(
-        "--schur_solver", choices=["auto", "dense", "pcg"], default="auto",
+        "--schur_solver", choices=["auto", "dense", "pcg", "segments"],
+        default="auto",
         help="inner reduced-camera solver: dense Cholesky (exact, fastest up "
-        "to ~1-2k poses) or matrix-free PCG (scales past that / distributed)",
+        "to ~1-2k poses), matrix-free PCG (scales past that / distributed), "
+        "or segment-parallel submaps (pose-chain sharded two-level solver "
+        "for long trajectories; see parallel/segment_ba.py)",
     )
     p.add_argument("--cg_iterations", type=int, default=32)
     p.add_argument(
+        "--segments", type=int, default=0,
+        help="number of trajectory segments for --schur_solver segments "
+        "(0 = one per device, min 4)",
+    )
+    p.add_argument(
+        "--sweeps", type=int, default=4,
+        help="Gauss-Seidel sweeps for --schur_solver segments",
+    )
+    p.add_argument(
         "--devices", type=int, default=0,
         help="shard the solve over the first N local devices (0 = single "
-        "device). Observations shard over a 1-D mesh; reductions psum over ICI",
+        "device). Observations shard over a 1-D mesh (auto/dense/pcg) or "
+        "segments shard over it (--schur_solver segments); reductions psum "
+        "over ICI",
     )
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
@@ -123,6 +137,53 @@ def main(argv=None) -> int:
         cg_iterations=args.cg_iterations,
     )
     t0 = time.perf_counter()
+    if args.schur_solver == "segments":
+        import jax.numpy as jnp
+
+        from vision_slam_frontend_tpu.backend.ba import _reproj_residual_norms
+        from vision_slam_frontend_tpu.parallel import make_mesh, optimize_segments
+
+        mesh = make_mesh(args.devices) if args.devices > 1 else None
+        n_seg = args.segments or max(args.devices, 4)
+        n_trimmed = 0
+        if solver.trim_threshold > 0:
+            # Same pre-trim rule as backend/ba.optimize: gross outliers are
+            # easiest to identify at the initial estimate.
+            norms = _reproj_residual_norms(cam, ba)
+            keep = ba.obs_mask & (norms < 10.0 * solver.trim_threshold)
+            n_trimmed = int(jnp.sum(ba.obs_mask) - jnp.sum(keep))
+            ba = ba.replace(obs_mask=keep)
+        opt, info = optimize_segments(
+            ba, mesh=mesh, cam=cam, solver=solver,
+            n_seg=n_seg, sweeps=args.sweeps, verbose=args.verbose,
+        )
+        if solver.trim_threshold > 0:
+            # One tightening round at the converged estimate, then re-sweep.
+            norms = _reproj_residual_norms(cam, opt)
+            keep = opt.obs_mask & (norms < solver.trim_threshold)
+            dropped = int(jnp.sum(opt.obs_mask) - jnp.sum(keep))
+            if dropped:
+                n_trimmed += dropped
+                opt, info2 = optimize_segments(
+                    opt.replace(obs_mask=keep), mesh=mesh, cam=cam,
+                    solver=solver, n_seg=n_seg, sweeps=args.sweeps,
+                    verbose=args.verbose,
+                )
+                info = {
+                    "cost": info2["cost"],
+                    "history": info["history"] + info2["history"],
+                    "iterations": info["iterations"] + info2["iterations"],
+                    "segments": n_seg,
+                    "sweeps": args.sweeps,
+                }
+        info["trimmed"] = n_trimmed
+        elapsed = time.perf_counter() - t0
+        print(
+            f"BA (segments={n_seg}, sweeps={args.sweeps}) converged: cost "
+            f"{info['history'][0]:.1f} -> {info['cost']:.1f} in "
+            f"{info['iterations']} LM iterations ({elapsed:.2f}s)"
+        )
+        return _write_output(args, problem, opt, info, data, cam_to_robot)
     if args.devices > 1:
         from vision_slam_frontend_tpu.parallel import make_mesh, shard_ba_problem
 
@@ -156,9 +217,14 @@ def main(argv=None) -> int:
         f"{info['iterations']} LM iterations ({elapsed:.2f}s, "
         f"{info['trimmed']} observations trimmed)"
     )
+    return _write_output(args, problem, opt, info, data, cam_to_robot)
 
-    # Write the optimized problem: original structure with updated poses,
-    # plus the optimized landmark cloud and per-pose trajectory.
+
+def _write_output(args, problem, opt, info, data, cam_to_robot) -> int:
+    """Write the optimized problem: original structure with updated poses,
+    plus the optimized landmark cloud and per-pose trajectory."""
+    from vision_slam_frontend_tpu.io.serialize import problem_to_arrays
+
     for k, node in enumerate(problem.nodes):
         node.pose.loc = np.asarray(opt.poses_t[k])
         node.pose.angle = np.asarray(opt.poses_q[k])

@@ -195,3 +195,160 @@ def generate_sequence(
         )
         pos = pos + R @ np.array([0.0, 0.0, step])
         yaw += yaw_rate
+
+
+def synthetic_ba_problem(
+    P: int = 256,
+    L: int = 4096,
+    obs_per_lm: int = 4,
+    pose_noise: float = 0.02,
+    pose_walk: float = 0.0,
+    lm_noise: float = 0.1,
+    px_noise: float = 0.3,
+    step: float = 0.25,
+    yaw_rate: float = 0.005,
+    seed: int = 0,
+    stereo: bool = False,
+    gather_tables: bool = True,
+):
+    """Vectorized large-scale synthetic BA world (no per-landmark Python loop).
+
+    A long yaw-turning trajectory (same motion model as generate_sequence);
+    landmark j is anchored in front of pose a_j = floor(j*P/L) and observed by
+    the next `obs_per_lm` consecutive poses — the locality structure of a real
+    SLAM run (a landmark lives in the sliding window of the keyframes that saw
+    it), which is what makes segment-parallel BA meaningful to test at scale.
+    Scales to P in the thousands / L in the 100k range in milliseconds.
+
+    Returns (cam: CameraParams, problem: BAProblem, gt_t (P,3), gt_lm (L,3)).
+    """
+    import jax.numpy as jnp
+
+    from vision_slam_frontend_tpu.backend.residuals import CameraParams
+    from vision_slam_frontend_tpu.types.slam_types import BAProblem
+
+    rng = np.random.default_rng(seed)
+    fx = fy = 500.0
+    cx, cy = 320.0, 240.0
+
+    # --- GT trajectory: planar, yaw about +y (camera convention y-down).
+    yaw = yaw_rate * np.arange(P)
+    cyw, syw = np.cos(yaw), np.sin(yaw)
+    fwd = np.stack([syw, np.zeros(P), cyw], -1)  # R(yaw) @ [0,0,1]
+    gt_t = np.concatenate([np.zeros((1, 3)), np.cumsum(step * fwd[:-1], 0)])
+    gt_q = np.stack(
+        [np.cos(yaw / 2), np.zeros(P), np.sin(yaw / 2), np.zeros(P)], -1
+    )
+
+    def rot(yaws):  # (K,) -> (K, 3, 3) world-from-camera
+        c, s = np.cos(yaws), np.sin(yaws)
+        z = np.zeros_like(c)
+        o = np.ones_like(c)
+        return np.stack(
+            [np.stack([c, z, s], -1), np.stack([z, o, z], -1),
+             np.stack([-s, z, c], -1)], -2,
+        )
+
+    # --- Landmarks anchored ahead of their anchor pose.
+    anchor = (np.arange(L) * P) // L
+    local = np.stack(
+        [rng.uniform(-3, 3, L), rng.uniform(-1.5, 1.5, L), rng.uniform(4, 14, L)],
+        -1,
+    )
+    gt_lm = gt_t[anchor] + np.einsum("lij,lj->li", rot(yaw[anchor]), local)
+
+    # --- Observations: poses anchor..anchor+obs_per_lm-1 (clipped to P).
+    obs_pose = np.minimum(anchor[:, None] + np.arange(obs_per_lm)[None, :], P - 1)
+    obs_lm = np.broadcast_to(np.arange(L)[:, None], obs_pose.shape)
+    rel = gt_lm[obs_lm] - gt_t[obs_pose]  # (L, O, 3)
+    Rw = rot(yaw)  # (P, 3, 3); camera frame: p_cam = R^T rel
+    p_cam = np.einsum("loji,loj->loi", Rw[obs_pose], rel)
+    u = fx * p_cam[..., 0] / np.maximum(p_cam[..., 2], 1e-6) + cx
+    v = fy * p_cam[..., 1] / np.maximum(p_cam[..., 2], 1e-6) + cy
+    valid = (p_cam[..., 2] > 0.5) & (u >= 0) & (u < 640) & (v >= 0) & (v < 480)
+    # Dedup repeated (pose, lm) pairs from the end-of-trajectory clip.
+    dup = np.zeros_like(valid)
+    dup[:, 1:] = obs_pose[:, 1:] == obs_pose[:, :-1]
+    valid &= ~dup
+    px = np.stack([u, v], -1) + rng.normal(0, px_noise, (*u.shape, 2))
+
+    keep = valid.reshape(-1)
+    obs_pose = obs_pose.reshape(-1)[keep].astype(np.int32)
+    obs_lm = obs_lm.reshape(-1)[keep].astype(np.int32)
+    px = px.reshape(-1, 2)[keep].astype(np.float32)
+    N = obs_pose.shape[0]
+
+    # --- Noisy initialization (gauge: pose 0 exact). `pose_noise` is i.i.d.
+    # jitter; `pose_walk` is an accumulating random-walk drift (the realistic
+    # odometry-integration error model — reference README.md:44 warns its own
+    # frontend trajectory drifts).
+    init_t = gt_t + rng.normal(0, pose_noise, gt_t.shape)
+    if pose_walk > 0:
+        init_t += np.cumsum(rng.normal(0, pose_walk, gt_t.shape), axis=0)
+    init_t[0] = gt_t[0]
+    dyaw = rng.normal(0, pose_noise * 0.3, P)
+    if pose_walk > 0:
+        dyaw += np.cumsum(rng.normal(0, pose_walk * 0.1, P))
+    dyaw[0] = 0.0
+    init_q = np.stack(
+        [np.cos((yaw + dyaw) / 2), np.zeros(P), np.sin((yaw + dyaw) / 2), np.zeros(P)],
+        -1,
+    )
+    init_lm = gt_lm + rng.normal(0, lm_noise, gt_lm.shape)
+
+    # --- Odometry factors from GT relative poses (yaw-only: closed form).
+    dy = yaw[1:] - yaw[:-1]
+    odom_t = np.einsum("qji,qj->qi", Rw[:-1], gt_t[1:] - gt_t[:-1])
+    odom_q = np.stack(
+        [np.cos(dy / 2), np.zeros(P - 1), np.sin(dy / 2), np.zeros(P - 1)], -1
+    )
+
+    kwargs = {}
+    if gather_tables:
+        from vision_slam_frontend_tpu.backend.tracks import build_gather_tables
+
+        po, pom, lo, lom = build_gather_tables(
+            obs_pose, obs_lm, np.ones(N, bool), P, L
+        )
+        kwargs = dict(
+            pose_obs=jnp.asarray(po), pose_obs_mask=jnp.asarray(pom),
+            lm_obs=jnp.asarray(lo), lm_obs_mask=jnp.asarray(lom),
+        )
+    cam_kwargs = {}
+    if stereo:
+        baseline = 0.12
+        # Right camera at +baseline along camera x: x_r = x_l + [-b, 0, 0].
+        u_r = u - fx * baseline / np.maximum(p_cam[..., 2], 1e-6)
+        px_r = np.stack([u_r, v], -1) + rng.normal(0, px_noise, (*u.shape, 2))
+        kwargs.update(
+            obs_pixel_right=jnp.asarray(px_r.reshape(-1, 2)[keep], jnp.float32),
+            obs_right_mask=jnp.ones(N, bool),
+        )
+        cam_kwargs = dict(
+            R_rl=jnp.eye(3), t_rl=jnp.asarray([-baseline, 0.0, 0.0], jnp.float32)
+        )
+
+    cam = CameraParams(
+        fx=jnp.float32(fx), fy=jnp.float32(fy),
+        cx=jnp.float32(cx), cy=jnp.float32(cy),
+        R_cr=jnp.eye(3), t_cr=jnp.zeros(3),
+        **cam_kwargs,
+    )
+    problem = BAProblem(
+        poses_t=jnp.asarray(init_t, jnp.float32),
+        poses_q=jnp.asarray(init_q, jnp.float32),
+        pose_mask=jnp.ones(P, bool),
+        landmarks=jnp.asarray(init_lm, jnp.float32),
+        landmark_mask=jnp.ones(L, bool),
+        obs_pose=jnp.asarray(obs_pose),
+        obs_landmark=jnp.asarray(obs_lm),
+        obs_pixel=jnp.asarray(px),
+        obs_mask=jnp.ones(N, bool),
+        odom_i=jnp.asarray(np.arange(P - 1), jnp.int32),
+        odom_j=jnp.asarray(np.arange(1, P), jnp.int32),
+        odom_t=jnp.asarray(odom_t, jnp.float32),
+        odom_q=jnp.asarray(odom_q, jnp.float32),
+        odom_mask=jnp.ones(P - 1, bool),
+        **kwargs,
+    )
+    return cam, problem, gt_t.astype(np.float32), gt_lm.astype(np.float32)

@@ -7,6 +7,10 @@ from vision_slam_frontend_tpu.parallel.sharded_ba import (
     optimize_sharded_dense,
     build_lm_sharded,
 )
+from vision_slam_frontend_tpu.parallel.segment_ba import (
+    build_segments,
+    optimize_segments,
+)
 
 __all__ = [
     "make_mesh",
@@ -15,4 +19,6 @@ __all__ = [
     "optimize_sharded",
     "optimize_sharded_dense",
     "build_lm_sharded",
+    "build_segments",
+    "optimize_segments",
 ]

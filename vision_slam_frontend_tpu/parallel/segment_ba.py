@@ -1,31 +1,51 @@
 """Segment-parallel bundle adjustment: pose-chain sharding for long trajectories.
 
 The SLAM analogue of context parallelism (SURVEY.md section 5, long-context
-row): a long trajectory is split into contiguous keyframe SEGMENTS, each
-device owns one or more segments, and all segments run LM *simultaneously* as
-one batched (vmapped) dense-Schur program whose leading segment axis shards
-over the mesh. Boundary poses are frozen at their incoming values, so every
-segment stays in the global frame and no cross-segment collective is needed
-during a sweep; a second sweep with boundaries shifted by half a segment
-optimizes the poses the first sweep froze (an alternating Gauss-Seidel
-pass over submaps — the standard large-scale SfM/SLAM decomposition).
+row), built as a two-level hierarchical solver (the submap decomposition of
+large-scale SfM/SLAM):
 
-Landmarks are owned by the segment of their first observation; observations
-of an owned landmark from poses outside the segment's range are dropped for
-that sweep (they re-enter when the shifted sweep moves the boundary). The
-per-iteration accept/reject (LM trust region) runs per segment on the host
-over a cost VECTOR, so the device program stays one compiled batched step —
-never a giant fused multi-iteration program (compile-time trap on this
-toolchain, see CLAUDE.md).
+  LEVEL A (parallel, sharded): the trajectory is split into contiguous
+  keyframe SEGMENTS — segment k owns poses [k*base, (k+1)*base), cores
+  partition [0, P). Every observation belongs to the segment owning its pose
+  and acts on a local COPY of its landmark; every odometry factor interior to
+  a segment is solved there. Each segment runs LM with an exact dense Schur
+  step under its own LOCAL GAUGE (its first pose frozen), so all segments
+  refine their internal shape simultaneously as ONE batched (vmapped)
+  program whose leading segment axis shards over the device mesh — zero
+  communication during the sweep.
+
+  LEVEL B (tiny, replicated): segments drift rigidly in their local gauges,
+  so a global alignment solves for one SE(3) correction per segment (6*n_seg
+  parameters, Gauss-Newton on a dense system) from the JUNCTION odometry
+  factors (the factors crossing segment boundaries, which no segment sees)
+  plus LANDMARK TIES (a landmark observed from several segments must map to
+  the same world point under each segment's correction). Corrections are
+  applied rigidly to each segment's poses and owned landmarks.
+
+After scatter-back, duplicated landmark copies are reconciled by a global
+landmark-only GN refit (backend/ba.refit_landmarks — separable 3x3 solves,
+batched and landmark-shardable). A sweep is accepted only if the TRUE global
+cost decreases, so the outer loop is monotone by construction.
+
+An earlier single-level formulation (frozen boundary-pose context, dropped
+cross-boundary observations) diverged: per-segment costs fell while the
+global cost rose monotonically, because frozen-at-stale-value boundaries
+tear the junctions and local sweeps cannot express the long-range (rigid
+per-segment) error modes. Level B exists precisely to carry those modes.
 
 Contrast with the other two distributed BA modes:
   - observation-sharded PCG  (shard_ba_problem + optimize): poses+landmarks
     replicated, observations sharded — best for many observations;
   - landmark-sharded dense   (optimize_sharded_dense): landmark blocks
     sharded, reduced camera matrix psum'd — best for many landmarks;
-  - segment-parallel (this): POSES sharded — the only mode whose per-device
-    pose state shrinks as the trajectory grows, so it is the long-trajectory
-    scaling path (6P x 6P dense blocks would not fit otherwise).
+  - segment-parallel (this): POSES sharded — the only mode whose dense-solve
+    cost per device shrinks as the trajectory grows (the global 6P x 6P
+    reduced camera system is never formed), so it is the long-trajectory
+    scaling path.
+
+Reference analogue: the reference's only "long-context" mechanism is its
+sliding window of 10 frames (reference: src/slam_frontend.h:84-86); it has
+no optimizer at all, let alone a distributed one.
 """
 
 from __future__ import annotations
@@ -35,15 +55,20 @@ import numpy as np
 from vision_slam_frontend_tpu.types.slam_types import BAProblem
 
 
-def build_segments(
-    problem: BAProblem, n_seg: int, overlap: int = 2, offset: int = 0,
-):
+def build_segments(problem: BAProblem, n_seg: int, offset: int = 0):
     """Partition a BAProblem into n_seg stacked fixed-capacity sub-problems.
 
-    Segment k covers poses [k*base - overlap + offset, (k+1)*base + offset)
-    (clipped to [0, P)); the first `overlap` poses of segments k>0 are frozen
-    boundary poses (and global pose 0 is always frozen). Returns
-    (stacked BAProblem with leading axis n_seg, scatter-back info dict).
+    Segment k owns the poses between consecutive core edges (edges at
+    offset + k*base, base = ceil(P/n_seg), clipped to [0, P]; segment 0
+    starts at 0 and the last ends at P, so cores always partition [0, P)),
+    every observation whose pose lies in that core (acting on a local copy of
+    its landmark), and every odometry factor with both endpoints inside.
+    The segment's first pose is frozen as its local gauge. A nonzero offset
+    (alternated between sweeps) moves the junctions so poses at a boundary in
+    one sweep are interior in the next.
+
+    Returns (stacked BAProblem with leading axis n_seg, info dict with
+    scatter-back tables plus the junction/tie data for the alignment step).
     """
     from vision_slam_frontend_tpu.backend.tracks import build_gather_tables
 
@@ -51,7 +76,11 @@ def build_segments(
     if n_seg < 1 or n_seg > P:
         raise ValueError(f"n_seg={n_seg} invalid for P={P}")
     base = -(-P // n_seg)  # ceil
-    Ps = min(base + overlap, P)
+    offset = int(offset) % base if n_seg > 1 else 0
+    edges = np.concatenate(
+        [[0], np.clip(offset + base * np.arange(1, n_seg), 0, P), [P]]
+    )
+    Ps = int(np.max(edges[1:] - edges[:-1]))
 
     op = np.asarray(problem.obs_pose)
     ol = np.asarray(problem.obs_landmark)
@@ -74,40 +103,48 @@ def build_segments(
     oq = np.asarray(problem.odom_q, np.float32) if problem.odom_q is not None else np.zeros((0, 4), np.float32)
     om = np.asarray(problem.odom_mask) if problem.odom_mask is not None else np.zeros(0, bool)
 
-    def seg_range(k):
-        lo = max(0, k * base - overlap + offset)
-        hi = min(P, lo + Ps)
-        lo = max(0, hi - Ps)  # keep length Ps where possible
-        return lo, hi
+    def core(k):
+        return int(edges[k]), int(edges[k + 1])
 
-    # Landmark ownership: the segment whose CORE range contains the
-    # landmark's first valid observation's pose.
+    def seg_of(pose_ids):
+        return np.clip(
+            np.searchsorted(edges, pose_ids, side="right") - 1, 0, n_seg - 1
+        )
+
+    # Landmark ownership: the segment containing the landmark's first valid
+    # observation (only the owner's copy scatters back).
     first_pose = np.full(lms.shape[0], -1, np.int64)
     valid_idx = np.nonzero(omask)[0]
     # reverse order so earlier observations overwrite later ones
     for i in valid_idx[::-1]:
         first_pose[ol[i]] = op[i]
-    owner = np.clip((first_pose - offset) // base, 0, n_seg - 1)
+    owner = seg_of(first_pose)
     owner[first_pose < 0] = -1
 
-    # Per-segment owned landmarks + local observation sets.
-    seg_lms = [np.nonzero((owner == k) & lm_mask_g)[0] for k in range(n_seg)]
+    obs_seg = seg_of(op)
+    seg_lms, seg_obs = [], []
+    lm_local = np.zeros((n_seg, lms.shape[0]), np.int64)  # global -> local id
+    for k in range(n_seg):
+        mask_k = omask & (obs_seg == k)
+        lm_in = np.zeros(lms.shape[0], bool)
+        lm_in[ol[mask_k]] = True
+        lm_in &= lm_mask_g
+        lids = np.nonzero(lm_in)[0]
+        seg_lms.append(lids)
+        lm_local[k, lids] = np.arange(len(lids))
+        seg_obs.append(np.nonzero(mask_k)[0])
     Ls = max(max((len(s) for s in seg_lms), default=0), 1)
     Ls = ((Ls + 7) // 8) * 8
-    seg_obs = []
-    for k in range(n_seg):
-        lo, hi = seg_range(k)
-        in_seg = omask & (owner[ol] == k) & (op >= lo) & (op < hi)
-        seg_obs.append(np.nonzero(in_seg)[0])
     Nsg = max(max((len(s) for s in seg_obs), default=0), 1)
     Nsg = ((Nsg + 7) // 8) * 8
 
-    # Per-segment odometry factors.
-    seg_odo = []
-    for k in range(n_seg):
-        lo, hi = seg_range(k)
-        keep = om & (oi >= lo) & (oi < hi) & (oj >= lo) & (oj < hi)
-        seg_odo.append(np.nonzero(keep)[0])
+    # Odometry: interior factors go to their segment; junction factors feed
+    # the level-B alignment.
+    seg_of_i = seg_of(oi)
+    seg_of_j = seg_of(oj)
+    interior = om & (seg_of_i == seg_of_j)
+    junction = om & (seg_of_i != seg_of_j)
+    seg_odo = [np.nonzero(interior & (seg_of_i == k))[0] for k in range(n_seg)]
     Qs = max(max((len(s) for s in seg_odo), default=0), 1)
 
     s = {
@@ -136,26 +173,21 @@ def build_segments(
         "pose_own": np.zeros((n_seg, Ps), bool),
         "lm_gid": np.zeros((n_seg, Ls), np.int64),
         "lm_own": np.zeros((n_seg, Ls), bool),
+        "base": base,
     }
 
     tables = []
     for k in range(n_seg):
-        lo, hi = seg_range(k)
+        lo, hi = core(k)
         npose = hi - lo
         s["poses_t"][k, :npose] = poses_t[lo:hi]
         s["poses_q"][k, :npose] = poses_q[lo:hi]
         s["pose_mask"][k, :npose] = True
         info["pose_gid"][k, :npose] = np.arange(lo, hi)
-        core_lo, core_hi = max(0, k * base + offset), min(P, (k + 1) * base + offset)
-        gids = np.arange(lo, hi)
-        core = (gids >= core_lo) & (gids < core_hi)
-        info["pose_own"][k, :npose] = core
-        # Frozen: non-core poses (boundary overlap) + global pose 0.
-        s["pose_fixed"][k, :npose] = ~core | (gids == 0)
-        # A segment whose every pose is core still needs a gauge anchor.
-        if not s["pose_fixed"][k, :npose].any():
-            s["pose_fixed"][k, 0] = True
-        # Unused slots: frozen so they can't drift the solve.
+        info["pose_own"][k, :npose] = True
+        # Local gauge: the segment's first pose is frozen; its rigid error is
+        # absorbed by the level-B correction. Unused slots frozen too.
+        s["pose_fixed"][k, 0] = True
         s["pose_fixed"][k, npose:] = True
 
         lids = seg_lms[k]
@@ -163,14 +195,12 @@ def build_segments(
         s["landmarks"][k, :nl] = lms[lids]
         s["landmark_mask"][k, :nl] = True
         info["lm_gid"][k, :nl] = lids
-        info["lm_own"][k, :nl] = True
-        local_of_global = np.zeros(lms.shape[0], np.int64)
-        local_of_global[lids] = np.arange(nl)
+        info["lm_own"][k, :nl] = owner[lids] == k
 
         obs = seg_obs[k]
         no = len(obs)
         s["obs_pose"][k, :no] = op[obs] - lo
-        s["obs_landmark"][k, :no] = local_of_global[ol[obs]]
+        s["obs_landmark"][k, :no] = lm_local[k, ol[obs]]
         s["obs_pixel"][k, :no] = opix[obs]
         s["obs_mask"][k, :no] = True
         s["obs_pixel_right"][k, :no] = opix_r[obs]
@@ -207,8 +237,117 @@ def build_segments(
         s["lm_obs"][k, :, : lo_t.shape[1]] = remapped
         s["lm_obs_mask"][k, :, : lom.shape[1]] = lom
 
+    # --- Level-B data: junction odometry factors ...
+    jn = np.nonzero(junction)[0]
+    info["jn_a"] = seg_of_i[jn].astype(np.int32)
+    info["jn_b"] = seg_of_j[jn].astype(np.int32)
+    info["jn_ia"] = (oi[jn] - edges[info["jn_a"]]).astype(np.int32)
+    info["jn_jb"] = (oj[jn] - edges[info["jn_b"]]).astype(np.int32)
+    info["jn_t"] = ot[jn]
+    info["jn_q"] = oq[jn]
+
+    # ... and landmark ties: consecutive segment pairs sharing a landmark.
+    copies = np.zeros((lms.shape[0], n_seg), bool)
+    for k in range(n_seg):
+        copies[seg_lms[k], k] = True
+    tie_a, tie_b, tie_la, tie_lb, tie_lid = [], [], [], [], []
+    multi = np.nonzero(copies.sum(1) >= 2)[0]
+    for j in multi:
+        segs = np.nonzero(copies[j])[0]
+        for a, b in zip(segs[:-1], segs[1:]):
+            tie_a.append(a)
+            tie_b.append(b)
+            tie_la.append(lm_local[a, j])
+            tie_lb.append(lm_local[b, j])
+            tie_lid.append(j)
+    info["tie_a"] = np.asarray(tie_a, np.int32)
+    info["tie_b"] = np.asarray(tie_b, np.int32)
+    info["tie_la"] = np.asarray(tie_la, np.int32)
+    info["tie_lb"] = np.asarray(tie_lb, np.int32)
+    info["tie_lid"] = np.asarray(tie_lid, np.int32)
+
     stacked = BAProblem(**s)
     return stacked, info
+
+
+def _align_segments(stacked, info, wt: float, wr: float, tie_w: float = 3.0,
+                    iters: int = 3):
+    """Level B: per-segment rigid SE(3) corrections from junctions + ties.
+
+    Solves min over xi (n_seg, 6 — axis-angle + translation, xi[0] pinned to
+    keep the global gauge) of the junction odometry residuals and landmark
+    tie residuals after applying T_k = (R(xi_k), u_k) to everything segment k
+    holds. Dense Gauss-Newton on 6*n_seg parameters — microscopic next to a
+    sweep, replicated everywhere. Returns xi as (n_seg, 6) numpy.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vision_slam_frontend_tpu.geometry.rotation import (
+        axis_angle_to_quat,
+        quat_inverse,
+        quat_multiply,
+        quat_rotate,
+        quat_to_axis_angle,
+    )
+
+    n_seg = int(stacked.poses_t.shape[0])
+    st = np.asarray(stacked.poses_t)
+    sq = np.asarray(stacked.poses_q)
+    sl = np.asarray(stacked.landmarks)
+
+    jn_a, jn_b = info["jn_a"], info["jn_b"]
+    t_i = jnp.asarray(st[jn_a, info["jn_ia"]])
+    q_i = jnp.asarray(sq[jn_a, info["jn_ia"]])
+    t_j = jnp.asarray(st[jn_b, info["jn_jb"]])
+    q_j = jnp.asarray(sq[jn_b, info["jn_jb"]])
+    t_m = jnp.asarray(info["jn_t"])
+    q_m = jnp.asarray(info["jn_q"])
+    jn_a = jnp.asarray(jn_a)
+    jn_b = jnp.asarray(jn_b)
+
+    l_a = jnp.asarray(sl[info["tie_a"], info["tie_la"]])
+    l_b = jnp.asarray(sl[info["tie_b"], info["tie_lb"]])
+    tie_a = jnp.asarray(info["tie_a"])
+    tie_b = jnp.asarray(info["tie_b"])
+
+    def residual(xi_flat):
+        xi = xi_flat.reshape(n_seg, 6)
+        # Pin segment 0: the global gauge lives there.
+        xi = xi.at[0].set(0.0)
+        q_c = jax.vmap(axis_angle_to_quat)(xi[:, :3])  # (n_seg, 4)
+        u = xi[:, 3:]
+
+        def corr_t(k, t):
+            return jax.vmap(quat_rotate)(q_c[k], t) + u[k]
+
+        def corr_q(k, q):
+            return jax.vmap(quat_multiply)(q_c[k], q)
+
+        r = []
+        if t_i.shape[0]:
+            ti2, qi2 = corr_t(jn_a, t_i), corr_q(jn_a, q_i)
+            tj2, qj2 = corr_t(jn_b, t_j), corr_q(jn_b, q_j)
+            qi_inv = jax.vmap(quat_inverse)(qi2)
+            t_rel = jax.vmap(quat_rotate)(qi_inv, tj2 - ti2)
+            q_rel = jax.vmap(quat_multiply)(qi_inv, qj2)
+            q_err = jax.vmap(quat_multiply)(jax.vmap(quat_inverse)(q_m), q_rel)
+            r.append(((t_rel - t_m) * wt).reshape(-1))
+            r.append((jax.vmap(quat_to_axis_angle)(q_err) * wr).reshape(-1))
+        if l_a.shape[0]:
+            r.append(((corr_t(tie_a, l_a) - corr_t(tie_b, l_b)) * tie_w).reshape(-1))
+        return jnp.concatenate(r) if r else jnp.zeros(1)
+
+    xi = jnp.zeros(6 * n_seg)
+    for _ in range(iters):
+        r = residual(xi)
+        J = jax.jacfwd(residual)(xi)
+        H = J.T @ J + 1e-6 * jnp.eye(6 * n_seg)
+        g = J.T @ r
+        xi = xi - jnp.linalg.solve(H, g)
+    xi = np.asarray(xi).reshape(n_seg, 6).copy()
+    xi[0] = 0.0
+    return xi
 
 
 def optimize_segments(
@@ -218,8 +357,9 @@ def optimize_segments(
     solver=None,
     cam=None,
     n_seg: int | None = None,
-    overlap: int = 2,
     sweeps: int = 2,
+    tie_weight: float = 3.0,
+    polish_iterations: int = 3,
     verbose: bool = False,
     axis_name: str = "data",
 ):
@@ -227,8 +367,16 @@ def optimize_segments(
 
     With a mesh, the stacked segment axis is sharded over it (n_seg should be
     a multiple of the mesh size); without one, the batched program still runs
-    (single device). `sweeps` alternates the segment boundaries by half a
-    segment so boundary-frozen poses get optimized too.
+    (single device). Each sweep = parallel per-segment LM (level A) + rigid
+    segment alignment (level B) + global landmark refit; a sweep is rolled
+    back if it does not lower the true global cost, so the outer loop is
+    monotone. The submap fixed point sits a few percent above the joint
+    optimum (junction coupling is only rigid + tied), so `polish_iterations`
+    matrix-free PCG LM iterations on the JOINT problem finish the job —
+    observation-sharded over the same mesh when one is given, so the whole
+    pipeline stays distributed (measured on the P=256 synthetic: segments
+    reach 3094, the joint optimum is 2963, three polish iterations land on
+    2963.2).
 
     Returns (optimized BAProblem, info dict).
     """
@@ -241,8 +389,10 @@ def optimize_segments(
         _linearize,
         _solve_schur_dense,
         compute_cost,
+        refit_landmarks,
     )
     from vision_slam_frontend_tpu.backend.residuals import CameraParams
+    from vision_slam_frontend_tpu.utils import np_geom
 
     solver = solver or BASolverConfig()
     if cam is None:
@@ -286,11 +436,20 @@ def optimize_segments(
 
     select = jax.jit(select)
 
-    base = -(-int(problem.poses_t.shape[0]) // n_seg)
+    def global_cost(p):
+        return float(compute_cost(cam, p, hd, wt, wr, huber_on))
+
     total_iters = 0
+    rejected_sweeps = 0
+    best_cost = global_cost(problem)
+    history = [best_cost]
+    base = -(-int(problem.poses_t.shape[0]) // n_seg)
     for sweep in range(sweeps):
-        offset = 0 if sweep % 2 == 0 else base // 2
-        stacked, info = build_segments(problem, n_seg, overlap, offset)
+        # Alternate the junction locations so boundary poses of one sweep are
+        # interior in the next (odd sweeps shift the core edges half a base).
+        stacked, info = build_segments(
+            problem, n_seg, offset=0 if sweep % 2 == 0 else base // 2
+        )
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as Pspec
 
@@ -303,8 +462,13 @@ def optimize_segments(
             new_cost = np.asarray(new_cost)
             accept = np.isfinite(new_cost) & (new_cost < cost)
             stacked = select(jnp.asarray(accept), cand, stacked)
+            # Non-finite = numerically indefinite system: escalate damping
+            # fast (cf. backend/ba._optimize_round).
+            up = np.where(
+                np.isfinite(new_cost), solver.lambda_up, solver.lambda_up**3
+            )
             lam = np.where(accept, np.maximum(lam * solver.lambda_down, 1e-9),
-                           np.minimum(lam * solver.lambda_up, 1e6))
+                           np.minimum(lam * up, 1e6))
             rel = np.where(accept, (cost - new_cost) / np.maximum(cost, 1e-12), 0.0)
             cost = np.where(accept, new_cost, cost)
             total_iters += 1
@@ -316,26 +480,115 @@ def optimize_segments(
                 )
             if not accept.any() or float(rel.max()) < 1e-6:
                 break
-        # Scatter owned poses / landmarks back to the global problem.
-        pt = np.asarray(problem.poses_t).copy()
-        pq = np.asarray(problem.poses_q).copy()
-        lm = np.asarray(problem.landmarks).copy()
+
+        # --- Level B: rigid per-segment alignment from junctions + ties.
+        xi = _align_segments(
+            stacked, info, float(solver.odom_t_weight),
+            float(solver.odom_r_weight), tie_weight,
+        )
+
+        # --- Scatter back with the corrections applied (host-side, small).
         st = np.asarray(stacked.poses_t)
         sq = np.asarray(stacked.poses_q)
         sl = np.asarray(stacked.landmarks)
-        own = info["pose_own"] & ~np.asarray(stacked.pose_fixed)
+        R_c = np.stack([np_geom.axis_angle_to_matrix(x) for x in xi[:, :3]])
+        q_c = np.stack([np_geom.axis_angle_to_quat(x) for x in xi[:, :3]])
+        u_c = xi[:, 3:]
+        st = np.einsum("kij,kpj->kpi", R_c, st) + u_c[:, None, :]
+        sq = np_geom.quat_multiply_batch(
+            np.broadcast_to(q_c[:, None, :], sq.shape), sq
+        ).astype(np.float32)
+        sl = np.einsum("kij,klj->kli", R_c, sl) + u_c[:, None, :]
+
+        pt = np.asarray(problem.poses_t).copy()
+        pq = np.asarray(problem.poses_q).copy()
+        lm = np.asarray(problem.landmarks).copy()
+        own = info["pose_own"]
         pt[info["pose_gid"][own]] = st[own]
         pq[info["pose_gid"][own]] = sq[own]
         lown = info["lm_own"]
         lm[info["lm_gid"][lown]] = sl[lown]
-        problem = problem.replace(
+        candidate = problem.replace(
             poses_t=jnp.asarray(pt), poses_q=jnp.asarray(pq), landmarks=jnp.asarray(lm)
         )
-    final_cost = float(
-        compute_cost(cam, problem, hd, wt, wr, huber_on)
-    )
+        # Reconcile duplicated landmark copies: global landmark-only GN refit
+        # with the swept poses held fixed (separable 3x3 solves, batched).
+        candidate = refit_landmarks(cam, candidate, hd, 2, huber_on)
+        cand_cost = global_cost(candidate)
+        if np.isfinite(cand_cost) and cand_cost < best_cost:
+            problem = candidate
+            rel_sweep = (best_cost - cand_cost) / max(best_cost, 1e-12)
+            best_cost = cand_cost
+            history.append(best_cost)
+            rejected_sweeps = 0
+            if verbose:
+                print(f"[BA-seg] sweep {sweep}: global cost -> {best_cost:.4f}")
+            if rel_sweep < 1e-6:
+                break
+        else:
+            # Reject the sweep: keep the previous (better) global state. The
+            # alternate-offset decomposition of the next sweep may still make
+            # progress; two consecutive rejections mean a fixed point.
+            history.append(best_cost)
+            rejected_sweeps += 1
+            if verbose:
+                print(
+                    f"[BA-seg] sweep {sweep}: rejected "
+                    f"(global cost {cand_cost:.4f} >= {best_cost:.4f})"
+                )
+            if rejected_sweeps >= 2:
+                break
+
+    if polish_iterations > 0:
+        from vision_slam_frontend_tpu.backend.ba import optimize
+
+        polish_solver = BASolverConfig(
+            max_iterations=polish_iterations,
+            schur_solver="pcg",
+            cg_iterations=solver.cg_iterations,
+            huber_delta=solver.huber_delta,
+            odom_t_weight=solver.odom_t_weight,
+            odom_r_weight=solver.odom_r_weight,
+            fix_first_pose=solver.fix_first_pose,
+        )
+        polished = problem
+        if mesh is not None:
+            from vision_slam_frontend_tpu.parallel.sharded_ba import (
+                shard_ba_problem,
+            )
+
+            n = mesh.shape[axis_name]
+            pad = (-int(problem.obs_pixel.shape[0])) % n
+            if pad:
+                polished = polished.replace(
+                    obs_pose=jnp.pad(polished.obs_pose, (0, pad)),
+                    obs_landmark=jnp.pad(polished.obs_landmark, (0, pad)),
+                    obs_pixel=jnp.pad(polished.obs_pixel, ((0, pad), (0, 0))),
+                    obs_mask=jnp.pad(polished.obs_mask, (0, pad)),
+                    obs_pixel_right=(
+                        jnp.pad(polished.obs_pixel_right, ((0, pad), (0, 0)))
+                        if polished.obs_pixel_right is not None else None
+                    ),
+                    obs_right_mask=(
+                        jnp.pad(polished.obs_right_mask, (0, pad))
+                        if polished.obs_right_mask is not None else None
+                    ),
+                )
+            polished = shard_ba_problem(polished, mesh, axis_name)
+        opt, pinfo = optimize(polished, cam=cam, solver=polish_solver, verbose=verbose)
+        if np.isfinite(pinfo["cost"]) and pinfo["cost"] < best_cost:
+            problem = problem.replace(
+                poses_t=jnp.asarray(np.asarray(opt.poses_t)),
+                poses_q=jnp.asarray(np.asarray(opt.poses_q)),
+                landmarks=jnp.asarray(np.asarray(opt.landmarks)),
+            )
+            best_cost = pinfo["cost"]
+            history.append(best_cost)
+            total_iters += pinfo["iterations"]
+
     return problem, {
-        "cost": final_cost,
+        "cost": best_cost,
+        "history": history,
         "iterations": total_iters,
         "segments": n_seg,
         "sweeps": sweeps,

@@ -288,16 +288,13 @@ def _make_lm_sharded_dense_step(
         W_lm = W.reshape(Ns, 18)[tbl].reshape(Lb, Ml, 6, 3) * lmm[..., None]
         Bt = jnp.einsum("lmij,lcj->lmic", W_lm, Ginv)
         pose_of = op[tbl]  # (Lb, Ml)
+        from vision_slam_frontend_tpu.backend.ba import _bbt_compensated
+
         Sc = jnp.zeros((6 * P, 6 * P), jnp.float32)
         for l0 in range(0, Lb, lm_chunk):
             lc = min(lm_chunk, Lb - l0)
-            Bt_c = Bt[l0 : l0 + lc].astype(jnp.bfloat16)
-            oh = (pose_of[l0 : l0 + lc, :, None] == ar[None, None, :]).astype(
-                jnp.bfloat16
-            )
-            Bc = jnp.einsum("lmis,lmp->pils", Bt_c, oh)
-            B2 = Bc.reshape(6 * P, 3 * lc)
-            Sc = Sc + jax.lax.dot(B2, B2.T, preferred_element_type=jnp.float32)
+            oh = pose_of[l0 : l0 + lc, :, None] == ar[None, None, :]
+            Sc = Sc + _bbt_compensated(Bt[l0 : l0 + lc], oh)
         Sc = jax.lax.psum(Sc, axis_name)
 
         # --- Replicated small system: identical Cholesky on every device.
@@ -426,7 +423,8 @@ def optimize_sharded_dense(
             if rel < 1e-6:
                 break
         else:
-            lam = min(lam * solver.lambda_up, 1e6)
+            up = solver.lambda_up if np.isfinite(new_cost) else solver.lambda_up**3
+            lam = min(lam * up, 1e6)
             rejected_streak += 1
             history.append(cost)
             if lam >= 1e6 or rejected_streak >= 4:

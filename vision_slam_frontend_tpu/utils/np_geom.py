@@ -46,6 +46,41 @@ def quat_angular_distance(a: np.ndarray, b: np.ndarray) -> float:
     return 2.0 * float(np.arccos(min(1.0, d)))
 
 
+def axis_angle_to_quat(aa: np.ndarray) -> np.ndarray:
+    aa = np.asarray(aa, np.float64)
+    angle = float(np.linalg.norm(aa))
+    if angle < 1e-12:
+        return np.array([1.0, 0.0, 0.0, 0.0])
+    axis = aa / angle
+    return np.concatenate([[np.cos(angle / 2)], np.sin(angle / 2) * axis])
+
+
+def axis_angle_to_matrix(aa: np.ndarray) -> np.ndarray:
+    """Rodrigues' formula."""
+    aa = np.asarray(aa, np.float64)
+    angle = float(np.linalg.norm(aa))
+    if angle < 1e-12:
+        return np.eye(3)
+    k = aa / angle
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(angle) * K + (1 - np.cos(angle)) * (K @ K)
+
+
+def quat_multiply_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Broadcasting Hamilton product over leading axes ((..., 4) x (..., 4))."""
+    aw, ax, ay, az = np.moveaxis(np.asarray(a, np.float64), -1, 0)
+    bw, bx, by, bz = np.moveaxis(np.asarray(b, np.float64), -1, 0)
+    return np.stack(
+        [
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+        ],
+        axis=-1,
+    )
+
+
 def quat_to_axis_angle(q: np.ndarray) -> np.ndarray:
     q = quat_normalize(np.asarray(q, np.float64))
     if q[0] < 0:
