@@ -236,3 +236,78 @@ class TestBriefMethods:
         assert b[0] == 0 and b[1] == NUM_BINS // 4 and b[2] == NUM_BINS // 2
         assert b[3] == 3 * NUM_BINS // 4 and b[4] == 0
         assert ((0 <= b) & (b < NUM_BINS)).all()
+
+
+class TestDescriptorRegistry:
+    """The extractor-switch seam (ops/descriptors.py): the reference's
+    six-way descriptor switch (src/slam_frontend.cc:188-248) scoped to the
+    ORB family, with the registry left open for more."""
+
+    def test_orb_registered_and_resolves(self):
+        from vision_slam_frontend_tpu.ops.brief import detect_and_describe
+        from vision_slam_frontend_tpu.ops.descriptors import (
+            get_family,
+            registered_families,
+        )
+
+        assert "orb" in registered_families()
+        fam = get_family("ORB")  # case-insensitive
+        assert fam.extractor is detect_and_describe
+        assert fam.distance == "hamming"
+        assert fam.words == 8
+
+    def test_unknown_family_lists_menu(self):
+        import pytest
+
+        from vision_slam_frontend_tpu.ops.descriptors import get_family
+
+        with pytest.raises(ValueError, match="registered.*orb"):
+            get_family("akaze")
+
+    def test_config_validates_family(self):
+        import pytest
+
+        from vision_slam_frontend_tpu.frontend.config import FrontendConfig
+
+        with pytest.raises(ValueError, match="unknown descriptor family"):
+            FrontendConfig(descriptor_family="sift")
+
+    def test_registered_family_drives_keyframe_step(self):
+        """A newly registered family is reachable through the jitted keyframe
+        step purely via config — the switch is real, not cosmetic."""
+        import jax.numpy as jnp
+
+        from vision_slam_frontend_tpu.frontend.keyframe import (
+            StepParams,
+            WindowState,
+            keyframe_step,
+        )
+        from vision_slam_frontend_tpu.frontend.config import FrontendConfig
+        from vision_slam_frontend_tpu.ops.brief import detect_and_describe
+        from vision_slam_frontend_tpu.ops.descriptors import (
+            _REGISTRY,
+            register_family,
+        )
+
+        calls = []
+
+        def traced_extractor(image, **kw):
+            calls.append(image.shape)
+            return detect_and_describe(image, **kw)
+
+        register_family("traced", traced_extractor)
+        try:
+            config = FrontendConfig(descriptor_family="traced", max_features=64)
+            params = StepParams.from_config(config)
+            state = WindowState.create(3, 64, config.stereo_threshold_init)
+            import numpy as np
+
+            rng = np.random.default_rng(0)
+            img = jnp.asarray(rng.uniform(0, 255, (96, 128)), jnp.float32)
+            _, result = keyframe_step(
+                params, state, img, img, jnp.int32(0), capacity=64, window=3,
+                descriptor_family="traced",
+            )
+            assert len(calls) == 2  # left + right went through the registry
+        finally:
+            _REGISTRY.pop("traced", None)

@@ -70,6 +70,11 @@ class FrontendConfig:
     debug_images: bool = False
     validate: bool = False                      # per-keyframe invariant checks (utils/checks.py)
 
+    # --- descriptor family (the reference's six-way extractor switch,
+    # src/slam_frontend.cc:188-248; this framework registers the ORB family —
+    # ops/descriptors.py is the seam where further families plug in) ---
+    descriptor_family: str = "orb"
+
     # --- TPU capacities (static shapes) ---
     max_features: int = 512                     # K: per-frame feature capacity
     blur_sigma: float = 2.0
@@ -91,6 +96,11 @@ class FrontendConfig:
     left_cam_to_robot: Any = dataclasses.field(init=False, default=None)  # 4x4 numpy
 
     def __post_init__(self):
+        # Validate the extractor choice up front (clean error with the menu,
+        # like the reference's ctor LOG(ERROR) on a bad extractor string).
+        from vision_slam_frontend_tpu.ops.descriptors import get_family
+
+        get_family(self.descriptor_family)
         c = self.calib
         self.intrinsics_left = Intrinsics.create(**c["intrinsics_left"])
         self.intrinsics_right = Intrinsics.create(**c["intrinsics_right"])

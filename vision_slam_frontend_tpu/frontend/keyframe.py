@@ -36,7 +36,6 @@ from vision_slam_frontend_tpu.geometry.camera import (
     triangulate_points,
     undistort_points,
 )
-from vision_slam_frontend_tpu.ops.brief import detect_and_describe
 from vision_slam_frontend_tpu.ops.hamming import match_window, ratio_test_match
 
 _LARGE = 1e9
@@ -128,7 +127,10 @@ def _stable_partition(keep: jnp.ndarray) -> jnp.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("capacity", "window", "border", "blur_sigma", "num_levels", "scale_factor"),
+    static_argnames=(
+        "capacity", "window", "border", "blur_sigma", "num_levels",
+        "scale_factor", "descriptor_family",
+    ),
     donate_argnums=(1,),
 )
 def keyframe_step(
@@ -143,18 +145,24 @@ def keyframe_step(
     blur_sigma: float = 2.0,
     num_levels: int = 1,
     scale_factor: float = 1.4,
+    descriptor_family: str = "orb",
 ):
     """Process one stereo keyframe. Returns (new_state, KeyframeResult)."""
     K = capacity
     W = window
 
-    # --- 1. Feature extraction, both cameras (reference: ExtractFeatures x2).
-    l_kps, _, l_desc, l_valid = detect_and_describe(
+    # --- 1. Feature extraction, both cameras (reference: ExtractFeatures x2;
+    # the extractor is resolved through the descriptor-family registry — the
+    # reference's six-way switch seam, src/slam_frontend.cc:188-248).
+    from vision_slam_frontend_tpu.ops.descriptors import get_family
+
+    extract = get_family(descriptor_family).extractor
+    l_kps, _, l_desc, l_valid = extract(
         left_image, threshold=params.fast_threshold, max_keypoints=K,
         border=border, blur_sigma=blur_sigma,
         num_levels=num_levels, scale_factor=scale_factor,
     )
-    r_kps, _, r_desc, r_valid = detect_and_describe(
+    r_kps, _, r_desc, r_valid = extract(
         right_image, threshold=params.fast_threshold, max_keypoints=K,
         border=border, blur_sigma=blur_sigma,
         num_levels=num_levels, scale_factor=scale_factor,
