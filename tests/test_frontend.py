@@ -167,3 +167,56 @@ def test_config_rejects_unknown_keys(tmp_path):
     p.write_text("nonexistent_knob: 3\n")
     with pytest.raises(ValueError):
         FrontendConfig.load(str(p))
+
+
+class TestUpdatePoses:
+    """Frontend.update_poses: the supported BA write-back seam (replaces the
+    old CLI pattern of mutating frontend._nodes through aliased problem
+    copies)."""
+
+    def _fresh_frontend(self):
+        rig = SyntheticRig()
+        config = FrontendConfig(
+            calib=rig.calib(), max_features=256, frame_life=5, fast_threshold=12.0
+        )
+        frontend = Frontend(config)
+        for f in generate_sequence(num_frames=6, step=0.25, rig=rig):
+            frontend.observe_odometry(f.odom_translation, f.odom_rotation, f.timestamp)
+            frontend.observe_image(f.left, f.right, f.timestamp)
+        return frontend, config
+
+    def test_array_update_lands_in_saved_problem(self):
+        frontend, _ = self._fresh_frontend()
+        n = frontend.get_num_poses()
+        new_t = np.arange(n * 3, dtype=np.float32).reshape(n, 3)
+        new_q = np.tile(np.array([1.0, 0, 0, 0], np.float32), (n, 1))
+        assert frontend.update_poses(new_t, new_q) == n
+        problem = frontend.get_slam_problem()
+        for k, node in enumerate(problem.nodes):
+            np.testing.assert_allclose(node.pose.loc, new_t[k])
+
+    def test_length_mismatch_rejected(self):
+        frontend, _ = self._fresh_frontend()
+        with pytest.raises(ValueError, match="do not match"):
+            frontend.update_poses(np.zeros((2, 3)), np.zeros((2, 4)))
+
+    def test_local_ba_refinement_lands_in_saved_problem(self):
+        from vision_slam_frontend_tpu.backend.local_ba import windowed_local_ba
+
+        frontend, config = self._fresh_frontend()
+        live = frontend.get_slam_problem()
+        before = [n.pose.loc.copy() for n in live.nodes]
+        updated, info = windowed_local_ba(live, config, window=6)
+        assert updated > 0 and info is not None
+        count = frontend.update_poses(live.nodes)
+        assert count == frontend.get_num_poses()
+        saved = frontend.get_slam_problem()
+        moved = [
+            not np.allclose(n.pose.loc, b)
+            for n, b in zip(saved.nodes, before)
+        ]
+        # The local BA must have actually refined (moved) some tail poses,
+        # and those refinements must be visible in a fresh problem copy.
+        assert any(moved)
+        for n_live, n_saved in zip(live.nodes, saved.nodes):
+            np.testing.assert_allclose(n_saved.pose.loc, n_live.pose.loc)

@@ -56,3 +56,66 @@ def test_debug_images_draw():
     # Green flow lines present.
     green = (match[:, :, 1] > 200) & (match[:, :, 0] < 60)
     assert green.any()
+
+
+class TestLiveViz:
+    """Live per-keyframe visualization (viz/live.py): the headless equivalent
+    of the reference's per-keyframe RViz publishing + debug-image topics
+    (reference: src/slam_frontend_main.cc:194-225, 295-309)."""
+
+    def test_live_viewer_rewrites_with_refresh(self, tmp_path):
+        from vision_slam_frontend_tpu.viz.live import LiveViewer
+
+        problem = make_problem()
+        path = str(tmp_path / "run_live.html")
+        viewer = LiveViewer(path, every=2, refresh_seconds=1.5)
+        assert viewer.update(problem) is not None  # update 1: writes
+        assert viewer.update(problem) is None      # update 2: skipped (every=2)
+        assert viewer.update(problem) is not None  # update 3: writes
+        html = open(path).read()
+        assert '<meta http-equiv="refresh" content="1.5">' in html
+        assert "localStorage" in html  # camera persists across reloads
+        # force=True writes regardless of cadence.
+        assert viewer.update(problem, force=True) is not None
+        assert viewer.last_stats["nodes"] == 3
+
+    def test_final_export_has_no_refresh(self, tmp_path):
+        path = str(tmp_path / "final.html")
+        export_html(path, make_problem())
+        assert "http-equiv" not in open(path).read()
+
+    def test_debug_streamer_keeps_memory_flat(self, tmp_path):
+        """With a debug sink installed, the frontend streams images to disk
+        per keyframe and buffers NOTHING (the round-1 behavior kept every raw
+        stereo pair in RAM for the whole run)."""
+        from vision_slam_frontend_tpu.frontend import Frontend, FrontendConfig
+        from vision_slam_frontend_tpu.io.synthetic import (
+            SyntheticRig,
+            generate_sequence,
+        )
+        from vision_slam_frontend_tpu.viz.live import DebugImageStreamer
+
+        rig = SyntheticRig()
+        config = FrontendConfig(
+            calib=rig.calib(), max_features=128, frame_life=4,
+            fast_threshold=12.0, debug_images=True,
+        )
+        frontend = Frontend(config)
+        out = str(tmp_path / "dbg")
+        frontend.debug_sink = DebugImageStreamer(out)
+        n_kf = 0
+        for f in generate_sequence(num_frames=5, step=0.25, rig=rig):
+            frontend.observe_odometry(
+                f.odom_translation, f.odom_rotation, f.timestamp
+            )
+            n_kf += bool(frontend.observe_image(f.left, f.right, f.timestamp))
+        assert n_kf >= 3
+        assert frontend.get_debug_data() == []  # nothing buffered
+        import os
+
+        files = sorted(os.listdir(out))
+        stereo = [f for f in files if f.startswith("stereo_")]
+        match = [f for f in files if f.startswith("match_")]
+        assert len(stereo) == n_kf == frontend.debug_sink.num_stereo
+        # Temporal matches exist from the second keyframe on.
+        assert len(match) >= n_kf - 1

@@ -128,8 +128,21 @@ def build_parser() -> argparse.ArgumentParser:
     # Reference flag surface (src/slam_frontend_main.cc:81-96).
     p.add_argument("--input", required=True, help="bag file / dataset dir / synthetic[:N]")
     p.add_argument("--output", required=True, help="output SLAM problem (.npz)")
-    p.add_argument("--visualize", action="store_true", help="kept for parity; headless env ignores")
-    p.add_argument("--save_debug", action="store_true", help="save debug match/stereo images next to output")
+    p.add_argument(
+        "--visualize", action="store_true",
+        help="live visualization: rewrite <output>_live.html per keyframe "
+        "(auto-refreshing pose-graph/landmark viewer — open it in a browser "
+        "and watch the map grow; headless RViz equivalent)",
+    )
+    p.add_argument(
+        "--visualize_every", type=int, default=1,
+        help="rewrite the live viewer every N keyframes (with --visualize)",
+    )
+    p.add_argument(
+        "--save_debug", action="store_true",
+        help="stream per-keyframe debug match/stereo images to "
+        "<output>_debug/ as they are produced (memory stays flat)",
+    )
     p.add_argument("--left_image_topic", default="/stereo/left/image_raw/compressed")
     p.add_argument("--right_image_topic", default="/stereo/right/image_raw/compressed")
     p.add_argument("--odom_topic", default="/odometry/filtered")
@@ -217,6 +230,23 @@ def main(argv=None) -> int:
 
     frontend = Frontend(config)
     frontend.verbosity = args.verbosity
+
+    import os as _os
+
+    base = _os.path.splitext(args.output)[0]
+    viewer = None
+    if args.visualize:
+        from vision_slam_frontend_tpu.viz.live import LiveViewer
+
+        viewer = LiveViewer(
+            base + "_live.html", config.left_cam_to_robot,
+            every=args.visualize_every,
+        )
+        print(f"Live viewer: open {viewer.path} in a browser (auto-refreshes)")
+    if args.save_debug:
+        from vision_slam_frontend_tpu.viz.live import DebugImageStreamer
+
+        frontend.debug_sink = DebugImageStreamer(base + "_debug")
     resume_t = -float("inf")
     if args.resume:
         resume_t = frontend.load_checkpoint(args.resume)
@@ -261,16 +291,20 @@ def main(argv=None) -> int:
             frames_seen += 1
             added = frontend.observe_image(left, right, t)
             n_poses = frontend.get_num_poses()
+            if added and viewer is not None:
+                # Per-keyframe live publishing (the reference's
+                # PublishVisualization after every new pose,
+                # src/slam_frontend_main.cc:319-327).
+                viewer.update(frontend.get_slam_problem())
             if added and args.local_ba > 0 and n_poses >= 4:
                 from vision_slam_frontend_tpu.backend.local_ba import windowed_local_ba
 
                 live = frontend.get_slam_problem()
                 updated, ba_info = windowed_local_ba(live, config, window=args.local_ba)
                 if updated:
-                    # Push refined poses back into the frontend's accumulator.
-                    for node, src in zip(frontend._nodes, live.nodes):
-                        node.pose.loc = src.pose.loc
-                        node.pose.angle = src.pose.angle
+                    # Push refined poses back into the frontend's accumulator
+                    # through the supported seam.
+                    frontend.update_poses(live.nodes)
                     if args.verbosity > 1 and ba_info:
                         print(
                             f"[local-ba] refined {updated} poses "
@@ -327,20 +361,14 @@ def main(argv=None) -> int:
         print(f"Wrote {args.html}: {stats}")
 
     if args.save_debug:
-        import os
-
-        from PIL import Image
-
-        from vision_slam_frontend_tpu.viz.debug_images import debug_images_from_frontend
-
-        match_images, stereo_images = debug_images_from_frontend(frontend)
-        base = os.path.splitext(args.output)[0]
-        os.makedirs(base + "_debug", exist_ok=True)
-        for i, im in enumerate(match_images):
-            Image.fromarray(im).save(f"{base}_debug/match_{i:05d}.png")
-        for i, im in enumerate(stereo_images):
-            Image.fromarray(im).save(f"{base}_debug/stereo_{i:05d}.png")
-        print(f"Saved {len(match_images)} match + {len(stereo_images)} stereo debug images to {base}_debug/")
+        sink = frontend.debug_sink
+        print(
+            f"Streamed {sink.num_match} match + {sink.num_stereo} stereo "
+            f"debug images to {sink.directory}/"
+        )
+    if viewer is not None:
+        viewer.update(problem, force=True)
+        print(f"Live viewer final state: {viewer.path} ({viewer.last_stats})")
     return 0
 
 

@@ -83,6 +83,12 @@ class Frontend:
         self._last_image_shape = None
         self._stats: List[dict] = []
         self.verbosity = 0
+        # Streaming debug sink: when set (callable(entry, frontend)), each
+        # keyframe's debug entry is handed over immediately instead of being
+        # buffered in _debug_data — keeps memory flat on long runs (the
+        # reference streams its debug images out per keyframe over ROS
+        # topics, src/slam_frontend_main.cc:295-309).
+        self.debug_sink = None
 
     # ------------------------------------------------------------------
     # Observation API
@@ -154,6 +160,7 @@ class Frontend:
             blur_sigma=self.config.blur_sigma,
             num_levels=self.config.num_levels,
             scale_factor=self.config.pyramid_scale,
+            descriptor_family=self.config.descriptor_family,
         )
         r: KeyframeResult = jax.device_get(result)
         if self.config.validate:
@@ -184,14 +191,16 @@ class Frontend:
                 f"{matched_per_slot.tolist()}"
             )
         if self.config.debug_images:
-            self._debug_data.append(
-                {
-                    "frame_id": fid,
-                    "left_image": np.asarray(left_image),
-                    "right_image": np.asarray(right_image),
-                    "result": r,
-                }
-            )
+            entry = {
+                "frame_id": fid,
+                "left_image": np.asarray(left_image),
+                "right_image": np.asarray(right_image),
+                "result": r,
+            }
+            if self.debug_sink is not None:
+                self.debug_sink(entry, self)
+            else:
+                self._debug_data.append(entry)
         self._prev_odom_t = self._odom_t.copy()
         self._prev_odom_q = self._odom_q.copy()
         self._curr_frame_id += 1
@@ -354,6 +363,39 @@ class Frontend:
         )
 
     def get_num_poses(self) -> int:
+        return len(self._nodes)
+
+    def update_poses(self, nodes_or_t, poses_q=None) -> int:
+        """Write refined poses (e.g. from local/global BA) back into the
+        accumulated problem.
+
+        Accepts either a list of SLAMNodes (poses copied by node_idx) or a
+        pair of arrays (poses_t (N, 3), poses_q (N, 4)) aligned with node
+        order. Returns the number of poses updated. This is the supported
+        write-back seam for BA refinement — callers must not reach into
+        `_nodes` (get_slam_problem copies the node LIST, not the nodes, so
+        mutating its result aliases internal state)."""
+        if poses_q is None:
+            by_idx = {n.node_idx: n for n in self._nodes}
+            count = 0
+            for src in nodes_or_t:
+                dst = by_idx.get(src.node_idx)
+                if dst is None:
+                    continue
+                dst.pose.loc = np.asarray(src.pose.loc, np.float32).copy()
+                dst.pose.angle = np.asarray(src.pose.angle, np.float32).copy()
+                count += 1
+            return count
+        poses_t = np.asarray(nodes_or_t, np.float32)
+        poses_q = np.asarray(poses_q, np.float32)
+        if len(poses_t) != len(self._nodes) or len(poses_q) != len(self._nodes):
+            raise ValueError(
+                f"pose arrays ({len(poses_t)}, {len(poses_q)}) do not match "
+                f"{len(self._nodes)} nodes"
+            )
+        for node, t, q in zip(self._nodes, poses_t, poses_q):
+            node.pose.loc = t.copy()
+            node.pose.angle = q.copy()
         return len(self._nodes)
 
     def get_config(self) -> FrontendConfig:

@@ -82,6 +82,45 @@ def create_match_debug_image(
     return canvas
 
 
+def render_debug_entry(entry: dict, nodes_by_id: dict):
+    """Render one keyframe's debug images: (stereo_image, match_image|None).
+
+    `entry` is the Frontend's per-keyframe debug dict (frame_id, left_image,
+    right_image, result); `nodes_by_id` maps node_idx -> SLAMNode for the
+    temporal-match drawing."""
+    r = entry["result"]
+    n = int(r.num_features)
+    lp = np.asarray(r.pixels_raw[:n])
+    rp = np.asarray(r.right_pixels_raw[:n])
+    stereo = create_stereo_debug_image(
+        entry["left_image"], entry["right_image"], lp, rp
+    )
+    # Temporal matches vs the newest filled window slot (the reference
+    # draws the factor against the most recent past frame,
+    # src/slam_frontend.cc:458-466).
+    w_ids = np.asarray(r.window_frame_id)
+    filled = np.nonzero(w_ids >= 0)[0]
+    if len(filled) == 0:
+        return stereo, None
+    w = int(filled[-1])
+    past = nodes_by_id.get(int(w_ids[w]))
+    matched = np.asarray(r.window_matched[w])
+    qs = np.nonzero(matched)[0]
+    if past is None or len(qs) == 0:
+        return stereo, None
+    ip = np.array([past.features[q].pixel for q in qs if q < len(past.features)])
+    cp = np.array(
+        [
+            np.asarray(r.pixels_raw[int(r.window_curr_idx[w][q])])
+            for q in qs
+            if q < len(past.features)
+        ]
+    )
+    if not len(ip):
+        return stereo, None
+    return stereo, create_match_debug_image(entry["left_image"], ip, cp)
+
+
 def debug_images_from_frontend(frontend) -> tuple[list, list]:
     """Build (match_images, stereo_images) from a Frontend's debug data.
 
@@ -93,39 +132,8 @@ def debug_images_from_frontend(frontend) -> tuple[list, list]:
     problem = frontend.get_slam_problem()
     nodes_by_id = {n.node_idx: n for n in problem.nodes}
     for entry in frontend.get_debug_data():
-        fid = entry["frame_id"]
-        r = entry["result"]
-        n = int(r.num_features)
-        lp = np.asarray(r.pixels_raw[:n])
-        rp = np.asarray(r.right_pixels_raw[:n])
-        stereo_images.append(
-            create_stereo_debug_image(
-                entry["left_image"], entry["right_image"], lp, rp
-            )
-        )
-        # Temporal matches vs the newest filled window slot (the reference
-        # draws the factor against the most recent past frame,
-        # src/slam_frontend.cc:458-466).
-        w_ids = np.asarray(r.window_frame_id)
-        filled = np.nonzero(w_ids >= 0)[0]
-        if len(filled) == 0:
-            continue
-        w = int(filled[-1])
-        past = nodes_by_id.get(int(w_ids[w]))
-        matched = np.asarray(r.window_matched[w])
-        qs = np.nonzero(matched)[0]
-        if past is None or len(qs) == 0:
-            continue
-        ip = np.array([past.features[q].pixel for q in qs if q < len(past.features)])
-        cp = np.array(
-            [
-                np.asarray(r.pixels_raw[int(r.window_curr_idx[w][q])])
-                for q in qs
-                if q < len(past.features)
-            ]
-        )
-        if len(ip):
-            match_images.append(
-                create_match_debug_image(entry["left_image"], ip, cp)
-            )
+        stereo, match = render_debug_entry(entry, nodes_by_id)
+        stereo_images.append(stereo)
+        if match is not None:
+            match_images.append(match)
     return match_images, stereo_images

@@ -18,7 +18,7 @@ from vision_slam_frontend_tpu.types.slam_types import SLAMProblem
 from vision_slam_frontend_tpu.viz.ply import landmark_points_world
 
 _TEMPLATE = """<!DOCTYPE html>
-<html><head><meta charset="utf-8"><title>SLAM viewer</title>
+<html><head><meta charset="utf-8"><title>SLAM viewer</title>{refresh_tag}
 <style>
  body {{ margin:0; background:#111; color:#ccc; font:12px monospace; overflow:hidden }}
  #hud {{ position:fixed; top:8px; left:8px; z-index:2; user-select:none }}
@@ -32,6 +32,16 @@ const DATA = {data};
 const canvas = document.getElementById('c');
 const ctx = canvas.getContext('2d');
 let yaw = -0.6, pitch = 0.5, dist = DATA.extent * 2.5, cx = DATA.center, pan = [0, 0];
+// Live mode reloads the page; keep the camera across reloads.
+try {{
+  const s = JSON.parse(localStorage.getItem('vsf_cam') || 'null');
+  if (s) {{ yaw = s[0]; pitch = s[1]; dist = s[2]; pan = s[3]; }}
+}} catch (e) {{}}
+function saveCam() {{
+  try {{ localStorage.setItem('vsf_cam', JSON.stringify([yaw, pitch, dist, pan])); }} catch (e) {{}}
+}}
+addEventListener('beforeunload', saveCam);
+setInterval(saveCam, 500);
 function resize() {{ canvas.width = innerWidth; canvas.height = innerHeight; draw(); }}
 addEventListener('resize', resize);
 let drag = null;
@@ -93,8 +103,17 @@ def export_html(
     left_cam_to_robot: np.ndarray | None = None,
     max_landmarks: int = 60000,
     title: str = "vision_slam_frontend_tpu",
+    refresh_seconds: float | None = None,
 ) -> dict:
-    """Write a standalone interactive HTML viewer. Returns content stats."""
+    """Write a standalone interactive HTML viewer. Returns content stats.
+
+    With `refresh_seconds`, the page reloads itself on that period (camera
+    persisted through localStorage) — the live-viewing mode: a writer
+    rewrites the file per keyframe and an open browser tab follows the map
+    as it grows (the headless equivalent of the reference's per-keyframe
+    RViz publishing, reference: src/slam_frontend_main.cc:194-225). The file
+    is always written atomically (tmp + rename) so a mid-write reload never
+    sees a torn page."""
     if left_cam_to_robot is None:
         left_cam_to_robot = np.eye(4)
     nodes = np.array([n.pose.loc for n in problem.nodes], np.float64).reshape(-1, 3)
@@ -127,12 +146,21 @@ def export_html(
         "odom_edges": len(odom_edges),
         "vision_edges": len(vision_edges),
     }
+    refresh_tag = (
+        f'<meta http-equiv="refresh" content="{refresh_seconds:g}">'
+        if refresh_seconds else ""
+    )
     html = _TEMPLATE.format(
         data=json.dumps(data),
         title=title,
+        refresh_tag=refresh_tag,
         stats=f"{stats['nodes']} poses · {stats['landmarks']} landmarks · "
         f"{stats['odom_edges']} odom + {stats['vision_edges']} vision edges",
     )
-    with open(path, "w") as f:
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         f.write(html)
+    os.replace(tmp, path)
     return stats
