@@ -857,7 +857,10 @@ def _optimize_round(
             history.append(cost)
             # Plateau: repeated rejections mean we're at the attainable
             # minimum for this linearization scale — stop burning iterations.
-            stop = lam >= 1e6 or rejected_streak >= 4
+            # Before the FIRST acceptance this is not a plateau but an
+            # under-damped start (gross-outlier inits need lambda to climb
+            # orders of magnitude before any step lands): keep escalating.
+            stop = lam >= 1e6 or (rejected_streak >= 4 and accepted > 0)
         if ckpt_cb and checkpoint_every > 0 and (stop or (it + 1) % checkpoint_every == 0):
             ckpt_cb(
                 problem,

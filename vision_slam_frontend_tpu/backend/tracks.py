@@ -97,6 +97,7 @@ def build_ba_problem(
     min_track_length: int = 2,
     max_landmarks: Optional[int] = None,
     pad_to_multiple: int = 128,
+    consistency_threshold: float = 0.75,
 ) -> BAProblem:
     """Convert a SLAMProblem to flat BA arrays.
 
@@ -109,6 +110,16 @@ def build_ba_problem(
         (single-observation landmarks don't constrain anything).
       max_landmarks: optional cap, keeping the longest tracks.
       pad_to_multiple: pad capacities for TPU-friendly static shapes.
+      consistency_threshold: geometric track verification (metres; <= 0
+        disables). Ratio-test survivors on self-similar texture still chain
+        FALSE matches into one union-find track (two different physical
+        points merged), which poisons BA far beyond what Huber/trimming can
+        absorb. Each observation carries its own stereo-triangulated 3D
+        point; lifting them to world through the (odometry) poses, a true
+        track's points agree to odometry-drift + stereo noise. Observations
+        farther than `consistency_threshold * max(1, depth/5)` from the
+        track's component-wise median are dropped (as are duplicate
+        observations of one pose — keep the closest to the median).
 
     Returns a BAProblem with numpy arrays (callers jnp-ify / shard).
     """
@@ -137,8 +148,6 @@ def build_ba_problem(
     track_list = [sorted(obs) for obs in tracks.values() if len(obs) >= min_track_length]
     # Longest tracks first (most informative), deterministic tie-break.
     track_list.sort(key=lambda t: (-len(t), t[0]))
-    if max_landmarks is not None:
-        track_list = track_list[:max_landmarks]
 
     pose_ids = np.array(sorted(node_by_id), np.int64)
     pose_row = {pid: i for i, pid in enumerate(pose_ids)}
@@ -148,6 +157,59 @@ def build_ba_problem(
         left_cam_to_robot = np.eye(4)
     R_cr = left_cam_to_robot[:3, :3]
     t_cr = left_cam_to_robot[:3, 3]
+
+    def world_point(pose_id, feat_idx):
+        node = node_by_id.get(pose_id)
+        if node is None or feat_idx >= len(node.features):
+            return None
+        p3 = np.asarray(node.features[feat_idx].point3d, np.float64)
+        if not (np.all(np.isfinite(p3)) and p3[2] > 0.05):
+            return None
+        p_robot = R_cr @ p3 + t_cr
+        q = np.asarray(node.pose.angle, np.float64)
+        return np_geom.quat_rotate(q, p_robot) + np.asarray(node.pose.loc, np.float64)
+
+    if consistency_threshold > 0:
+        filtered = []
+        for track in track_list:
+            pts, keys = [], []
+            for key in track:
+                w = world_point(*key)
+                if w is not None:
+                    pts.append(w)
+                    keys.append(key)
+            if len(pts) < 2:
+                # No geometric evidence either way (features without finite
+                # stereo triangulations): absence of evidence is not
+                # inconsistency — keep the track as-is; BA estimates the
+                # landmark from the pixels regardless.
+                filtered.append(track)
+                continue
+            if len(pts) < min_track_length:
+                continue
+            pts = np.stack(pts)
+            med = np.median(pts, axis=0)
+            d = np.linalg.norm(pts - med, axis=1)
+            node0 = node_by_id[keys[0][0]]
+            depth = np.linalg.norm(med - np.asarray(node0.pose.loc, np.float64))
+            thr = consistency_threshold * max(1.0, depth / 5.0)
+            # Keep consistent observations; at most one per pose (a
+            # union-find track with two features in the SAME pose is a
+            # guaranteed false merge — keep the one nearest the median).
+            best: dict = {}
+            for i, key in enumerate(keys):
+                if d[i] > thr:
+                    continue
+                pid = key[0]
+                if pid not in best or d[i] < d[best[pid]]:
+                    best[pid] = i
+            sel = sorted(keys[i] for i in best.values())
+            if len(sel) >= min_track_length:
+                filtered.append(sel)
+        track_list = filtered
+
+    if max_landmarks is not None:
+        track_list = track_list[:max_landmarks]
 
     obs_pose, obs_landmark, obs_pixel = [], [], []
     obs_pixel_right, obs_right = [], []
