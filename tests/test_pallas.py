@@ -67,13 +67,21 @@ class TestFastScoresNms:
         from vision_slam_frontend_tpu.ops.pallas_kernels import fast_scores_nms
 
         img = synthetic_corner_image(1, H=96, W=128).astype(np.float32)
-        ours = np.asarray(fast_scores_nms(img, interpret=True))
+        raw, supp = fast_scores_nms(img, interpret=True)
+        ours = np.asarray(supp)
         ref = self._xla_ref(img)
         b = 5  # padding modes differ at the image border (edge vs zero)
         a_in, r_in = ours[b:-b, b:-b], ref[b:-b, b:-b]
         np.testing.assert_array_equal(np.isfinite(a_in), np.isfinite(r_in))
         m = np.isfinite(a_in)
         np.testing.assert_allclose(a_in[m], r_in[m])
+        # Raw (unsuppressed) scores match the XLA fast_scores interior too.
+        from vision_slam_frontend_tpu.ops.fast import fast_scores
+
+        raw_ref = np.asarray(fast_scores(img))
+        np.testing.assert_allclose(
+            np.asarray(raw)[b:-b, b:-b], raw_ref[b:-b, b:-b]
+        )
 
     def test_nonmultiple_height(self):
         import numpy as np
@@ -82,5 +90,6 @@ class TestFastScoresNms:
 
         rng = np.random.default_rng(2)
         img = rng.uniform(0, 255, (50, 128)).astype(np.float32)
-        out = np.asarray(fast_scores_nms(img, interpret=True))
-        assert out.shape == (50, 128)
+        raw, supp = fast_scores_nms(img, interpret=True)
+        assert np.asarray(raw).shape == (50, 128)
+        assert np.asarray(supp).shape == (50, 128)

@@ -37,6 +37,24 @@ RING_OFFSETS = (
 ARC_LENGTH = 9  # FAST-9/16: at least 9 contiguous ring pixels
 
 
+def _use_pallas_fast() -> bool:
+    """Select the fused Pallas FAST+NMS kernel for detection.
+
+    Opt-in via VSF_ENABLE_PALLAS=1 (or a comma list containing "fast");
+    requires a TPU backend. Measured on v5e (640x480, composed in the full
+    keyframe step): see BASELINE.md Pallas notes.
+    """
+    import os
+
+    flag = os.environ.get("VSF_ENABLE_PALLAS", "")
+    if not (flag == "1" or "fast" in flag.split(",")):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _ring_stack(image: jnp.ndarray) -> jnp.ndarray:
     """(16, H, W) stack of the ring-neighbor intensity at every pixel.
 
@@ -105,22 +123,35 @@ def fast_detect(
       valid:     (K,) bool.
     """
     H, W = image.shape
-    score = fast_scores(image)
+    raw_pallas = None
+    if nms and _use_pallas_fast():
+        from vision_slam_frontend_tpu.ops.pallas_kernels import fast_scores_nms
 
-    if nms:
-        # Strict non-max suppression: survive only if strictly greater than
-        # all 8 neighbors (OpenCV's rule — equal-score plateaus die entirely).
-        padded = jnp.pad(score, 1, constant_values=-jnp.inf)
-        neigh = [
-            padded[1 + dy : 1 + dy + H, 1 + dx : 1 + dx + W]
-            for dy in (-1, 0, 1)
-            for dx in (-1, 0, 1)
-            if (dy, dx) != (0, 0)
-        ]
-        neighbor_max = neigh[0]
-        for n in neigh[1:]:
-            neighbor_max = jnp.maximum(neighbor_max, n)
-        score = jnp.where(score > neighbor_max, score, -jnp.inf)
+        raw_pallas, score = fast_scores_nms(image.astype(jnp.float32))
+        # The kernel zero-pads instead of edge-padding: re-impose the XLA
+        # path's 3-pixel border invalidation (subsumed by `border` below,
+        # kept for exact parity of the score map).
+        ys3 = lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        xs3 = lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        interior = (ys3 >= 3) & (ys3 < H - 3) & (xs3 >= 3) & (xs3 < W - 3)
+        score = jnp.where(interior, score, -jnp.inf)
+    else:
+        score = fast_scores(image)
+        if nms:
+            # Strict non-max suppression: survive only if strictly greater
+            # than all 8 neighbors (OpenCV's rule — equal-score plateaus die
+            # entirely).
+            padded = jnp.pad(score, 1, constant_values=-jnp.inf)
+            neigh = [
+                padded[1 + dy : 1 + dy + H, 1 + dx : 1 + dx + W]
+                for dy in (-1, 0, 1)
+                for dx in (-1, 0, 1)
+                if (dy, dx) != (0, 0)
+            ]
+            neighbor_max = neigh[0]
+            for n in neigh[1:]:
+                neighbor_max = jnp.maximum(neighbor_max, n)
+            score = jnp.where(score > neighbor_max, score, -jnp.inf)
 
     ys = lax.broadcasted_iota(jnp.int32, (H, W), 0)
     xs = lax.broadcasted_iota(jnp.int32, (H, W), 1)
@@ -144,7 +175,9 @@ def fast_detect(
     # each axis (the corner is a strict local max after NMS, so the fit is
     # concave). Crucial for stereo accuracy: integer corners alone cost
     # ~0.5 px of disparity = several % depth error at range.
-    raw = fast_scores(image)  # unsuppressed scores
+    # (Pallas path: the kernel already emitted the raw map; XLA path: this
+    # second fast_scores call CSEs with the first inside the jit.)
+    raw = fast_scores(image) if raw_pallas is None else raw_pallas
     raw = jnp.where(jnp.isfinite(raw), raw, 0.0)
     rflat = raw.reshape(-1)
 

@@ -138,14 +138,15 @@ _ARC = 9
 _HALO = 4  # ring radius 3 + NMS radius 1
 
 
-def _fast_kernel(img_ref, out_ref, *, band: int, width: int):
+def _fast_kernel(img_ref, raw_ref, out_ref, *, band: int, width: int):
     """One row band: compute FAST-9 scores for band+2 rows in VMEM, then
-    strict 8-neighbor NMS, writing `band` suppressed score rows.
+    strict 8-neighbor NMS, writing `band` raw + suppressed score rows.
 
     img_ref: the full padded image resident in VMEM (~1.3 MB at 640x480) —
     overlapping halo windows can't be expressed as BlockSpec blocks, so each
     program dynamic-slices its band.
-    out_ref block: (band, width) f32.
+    raw_ref / out_ref blocks: (band, width) f32 — the raw score (needed by
+    the caller's sub-pixel quadratic fit) and the NMS-suppressed score.
     """
     prog = pl.program_id(0)
     img = img_ref[pl.ds(prog * band, band + 2 * _HALO), :]
@@ -174,6 +175,7 @@ def _fast_kernel(img_ref, out_ref, *, band: int, width: int):
         return out
 
     score = jnp.maximum(polarity_score(1.0), polarity_score(-1.0))
+    raw_ref[:, :] = score[1 : 1 + band, 1 : 1 + width]
 
     # Strict NMS: survive iff greater than all 8 neighbors.
     c = score[1 : 1 + band, 1 : 1 + width]
@@ -188,13 +190,14 @@ def _fast_kernel(img_ref, out_ref, *, band: int, width: int):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def fast_scores_nms(image: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+def fast_scores_nms(image: jnp.ndarray, interpret: bool = False):
     """Fused FAST-9 score + strict NMS via Pallas row-band kernel.
 
-    Returns (H, W) suppressed scores (-inf at non-maxima), matching the XLA
-    path `fast_scores` + strict NMS composition in ops/fast.py except at the
-    3-pixel border (handled by the caller's border mask; the XLA path uses
-    edge-padding there, this kernel zero-padding).
+    Returns (raw, suppressed) (H, W) score maps. `suppressed` is -inf at
+    non-maxima, matching the XLA path `fast_scores` + strict NMS composition
+    in ops/fast.py except at the 3-pixel border (handled by the caller's
+    border mask; the XLA path uses edge-padding there, this kernel
+    zero-padding). `raw` is the unsuppressed score the sub-pixel fit reads.
     """
     H, W = image.shape
     band = 16  # small bands keep Mosaic's scoped-VMEM stack under its 16 MB limit
@@ -204,12 +207,18 @@ def fast_scores_nms(image: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
         image.astype(jnp.float32)
     )
     grid = (Hp // band,)
-    out = pl.pallas_call(
+    raw, out = pl.pallas_call(
         functools.partial(_fast_kernel, band=band, width=W),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],  # full padded image
-        out_specs=pl.BlockSpec((band, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Hp, W), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((band, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((band, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Hp, W), jnp.float32),
+            jax.ShapeDtypeStruct((Hp, W), jnp.float32),
+        ],
         interpret=interpret,
     )(padded)
-    return out[:H]
+    return raw[:H], out[:H]
