@@ -83,19 +83,12 @@ def make_problem(P, L, obs_per_lm, seed=0):
     )
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--landmarks", type=int, default=100_000)
-    ap.add_argument("--obs-per-lm", type=int, default=5)
-    ap.add_argument("--poses", type=int, default=500)
-    ap.add_argument("--cg-iters", type=int, default=32)
-    ap.add_argument(
-        "--solver", choices=["dense", "pcg"], default="dense",
-        help="inner reduced-camera solver (dense Cholesky is the fast path "
-        "at this pose count; pcg is the matrix-free/distributed form)",
-    )
-    args = ap.parse_args()
+def _bench_config(P, L, obs_per_lm, solver, cg_iters, n_iters=10, with_mfu=False):
+    """Time one LM iteration (linearize + Schur solve + apply) on the device.
 
+    Returns a result dict: iters/s plus (with_mfu) an XLA-cost-analysis FLOPs
+    estimate and the implied MFU against the chip's bf16 peak.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -112,22 +105,51 @@ def main() -> None:
         cx=jnp.float32(320.0), cy=jnp.float32(240.0),
         R_cr=jnp.eye(3), t_cr=jnp.zeros(3),
     )
-    problem = make_problem(args.poses, args.landmarks, args.obs_per_lm)
+    problem = make_problem(P, L, obs_per_lm)
 
     hd = jnp.float32(4.0)
     wt = jnp.float32(30.0)
     wr = jnp.float32(60.0)
     lam = jnp.float32(1e-3)
 
+    if solver == "segments":
+        # The two-level pose-chain-sharded solver: its unit of progress is one
+        # sweep (all segments advance one dense-LM batch + rigid alignment +
+        # landmark refit). Benched through the public API; per-sweep inner
+        # iterations are held at 1 so a "sweep" costs ~one LM iteration per
+        # segment, executed batched.
+        from vision_slam_frontend_tpu.backend.ba import BASolverConfig
+        from vision_slam_frontend_tpu.parallel.segment_ba import optimize_segments
+
+        n_seg = max(2, P // 256)
+
+        def run(iters):
+            t0 = time.perf_counter()
+            opt, info = optimize_segments(
+                problem, cam=cam,
+                solver=BASolverConfig(max_iterations=iters),
+                n_seg=n_seg, sweeps=1, polish_iterations=0,
+            )
+            _ = np.asarray(jax.device_get(opt.poses_t))
+            return time.perf_counter() - t0
+
+        run(1)  # compile
+        dt = run(n_iters)
+        return {
+            "P": P, "L": L, "N": L * obs_per_lm, "solver": f"segments{n_seg}",
+            "iters_per_sec": round(n_iters / dt, 3),
+            "sec_per_iter": round(dt / n_iters, 4),
+        }
+
     def one_iter(p):
         r, Jp, Jl, ro, Ji, Jj = _linearize(cam, p, hd, wt, wr, True)
-        if args.solver == "dense":
+        if solver == "dense":
             d_pose, d_lm, res = _solve_schur_dense(
                 r, Jp, Jl, ro, Ji, Jj, p, lam, True
             )
         else:
             d_pose, d_lm, res = _solve_schur_pcg(
-                r, Jp, Jl, ro, Ji, Jj, p, lam, args.cg_iters, True
+                r, Jp, Jl, ro, Ji, Jj, p, lam, cg_iters, True
             )
         return _apply_step(p, d_pose, d_lm)
 
@@ -138,20 +160,96 @@ def main() -> None:
     # device_get forces true completion (block_until_ready has proven
     # unreliable on tunneled backends); the chained state dependency makes
     # one final fetch account for every iteration in the window.
-    n_iters = 10
     t0 = time.perf_counter()
     for _ in range(n_iters):
         p = one_iter(p)
     _ = np.asarray(jax.device_get(p.poses_t))
-    ips = n_iters / (time.perf_counter() - t0)
+    dt = time.perf_counter() - t0
+    out = {
+        "P": P, "L": L, "N": L * obs_per_lm,
+        "solver": solver if solver == "dense" else f"pcg{cg_iters}",
+        "iters_per_sec": round(n_iters / dt, 3),
+        "sec_per_iter": round(dt / n_iters, 4),
+    }
+    if with_mfu:
+        try:
+            compiled = jax.jit(one_iter).lower(problem).compile()
+            flops = compiled.cost_analysis()["flops"]
+            # v5e bf16 peak: 197 TFLOP/s (the MXU matmuls here run bf16-compensated;
+            # XLA counts each bf16 MAC once, so this is a lower-bound MFU).
+            out["flops_per_iter"] = float(flops)
+            out["mfu_pct_v5e"] = round(
+                100.0 * flops * n_iters / dt / 197e12, 2
+            )
+        except Exception:
+            pass
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--landmarks", type=int, default=100_000)
+    ap.add_argument("--obs-per-lm", type=int, default=5)
+    ap.add_argument("--poses", type=int, default=500)
+    ap.add_argument("--cg-iters", type=int, default=32)
+    ap.add_argument(
+        "--solver", choices=["dense", "pcg", "segments"], default="dense",
+        help="inner reduced-camera solver (dense Cholesky is the fast path "
+        "at this pose count; pcg is the matrix-free/distributed form; "
+        "segments is the pose-chain-sharded two-level solver)",
+    )
+    ap.add_argument(
+        "--sweep", action="store_true",
+        help="characterize the dense/pcg/segments crossover: P x L x solver "
+        "grid, one JSON line per config + a crossover summary "
+        "(feeds BASolverConfig.dense_max_poses / BASELINE.md)",
+    )
+    ap.add_argument("--mfu", action="store_true", help="add XLA-cost-analysis FLOPs + MFU")
+    args = ap.parse_args()
+
+    if args.sweep:
+        grid = []
+        for P in (500, 2000, 5000):
+            for L in (100_000, 500_000):
+                grid.append((P, L, "dense", 0))
+                grid.append((P, L, "pcg", args.cg_iters))
+                if P >= 2000:
+                    grid.append((P, L, "segments", 0))
+        results = []
+        for P, L, solver, cg in grid:
+            try:
+                r = _bench_config(P, L, args.obs_per_lm, solver, cg, with_mfu=args.mfu)
+            except Exception as e:  # OOM / compile failure: record, move on
+                r = {"P": P, "L": L, "solver": solver, "error": str(e)[:200]}
+            print(json.dumps(r), flush=True)
+            results.append(r)
+        # Crossover summary: fastest solver per (P, L).
+        best = {}
+        for r in results:
+            if "iters_per_sec" not in r:
+                continue
+            key = (r["P"], r["L"])
+            if key not in best or r["iters_per_sec"] > best[key]["iters_per_sec"]:
+                best[key] = r
+        print(json.dumps({
+            "metric": "ba_solver_crossover",
+            "fastest": {f"P{p}_L{l}": v["solver"] for (p, l), v in sorted(best.items())},
+        }))
+        return
+
+    r = _bench_config(
+        args.poses, args.landmarks, args.obs_per_lm, args.solver,
+        args.cg_iters, with_mfu=args.mfu,
+    )
     print(
         json.dumps(
             {
                 "metric": "ba_lm_iterations_per_sec_100k_landmarks",
-                "value": round(ips, 3),
-                "unit": f"LM iters/s (P={args.poses}, L={args.landmarks}, solver={args.solver}, "
-                f"N={args.landmarks * args.obs_per_lm}, cg={args.cg_iters})",
-                "vs_baseline": round(ips / 1.0, 3),
+                "value": r["iters_per_sec"],
+                "unit": f"LM iters/s (P={args.poses}, L={args.landmarks}, "
+                f"solver={r['solver']}, N={r['N']})",
+                "vs_baseline": round(r["iters_per_sec"] / 1.0, 3),
+                **{k: r[k] for k in ("flops_per_iter", "mfu_pct_v5e") if k in r},
             }
         )
     )
