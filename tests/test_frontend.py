@@ -220,3 +220,58 @@ class TestUpdatePoses:
         assert any(moved)
         for n_live, n_saved in zip(live.nodes, saved.nodes):
             np.testing.assert_allclose(n_saved.pose.loc, n_live.pose.loc)
+
+
+class TestResultPipelining:
+    """The one-deep result pipeline (fetch keyframe k-1 while k computes)
+    must be invisible: identical problems vs the synchronous (validate=True)
+    path, and every accessor sees flushed state."""
+
+    def _run(self, validate):
+        rig = SyntheticRig()
+        config = FrontendConfig(
+            calib=rig.calib(), max_features=128, frame_life=4,
+            fast_threshold=12.0, validate=validate,
+        )
+        frontend = Frontend(config)
+        for f in generate_sequence(num_frames=7, step=0.25, rig=rig):
+            frontend.observe_odometry(f.odom_translation, f.odom_rotation, f.timestamp)
+            frontend.observe_image(f.left, f.right, f.timestamp)
+        return frontend
+
+    def test_pipelined_matches_synchronous(self):
+        fe_sync = self._run(validate=True)
+        fe_pipe = self._run(validate=False)
+        p_sync = fe_sync.get_slam_problem()
+        p_pipe = fe_pipe.get_slam_problem()
+        assert len(p_pipe.nodes) == len(p_sync.nodes)
+        assert len(p_pipe.vision_factors) == len(p_sync.vision_factors)
+        assert len(p_pipe.odometry_factors) == len(p_sync.odometry_factors)
+        for a, b in zip(p_pipe.nodes, p_sync.nodes):
+            np.testing.assert_allclose(a.pose.loc, b.pose.loc)
+            np.testing.assert_allclose(a.pose.angle, b.pose.angle)
+            assert len(a.features) == len(b.features)
+            for fa, fb in zip(a.features, b.features):
+                np.testing.assert_allclose(fa.pixel, fb.pixel)
+                np.testing.assert_allclose(fa.point3d, fb.point3d)
+        for fa, fb in zip(p_pipe.odometry_factors, p_sync.odometry_factors):
+            np.testing.assert_allclose(fa.translation, fb.translation)
+            np.testing.assert_allclose(fa.rotation, fb.rotation)
+
+    def test_accessors_flush_mid_stream(self):
+        rig = SyntheticRig()
+        config = FrontendConfig(
+            calib=rig.calib(), max_features=128, frame_life=4, fast_threshold=12.0
+        )
+        frontend = Frontend(config)
+        n_added = 0
+        for f in generate_sequence(num_frames=6, step=0.25, rig=rig):
+            frontend.observe_odometry(f.odom_translation, f.odom_rotation, f.timestamp)
+            if frontend.observe_image(f.left, f.right, f.timestamp):
+                n_added += 1
+                # Immediately-visible state: the pending result must be
+                # flushed by every accessor, mid-stream.
+                assert frontend.get_num_poses() == n_added
+                assert len(frontend.stats) == n_added
+                assert len(frontend.node_track_ids) == n_added
+                assert frontend.get_slam_problem().nodes[-1].node_idx == n_added - 1

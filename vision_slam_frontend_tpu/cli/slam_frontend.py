@@ -255,7 +255,7 @@ def main(argv=None) -> int:
             f"skipping events at t <= {resume_t:.6f}"
         )
     ckpt_path = args.output + ".ckpt.npz"
-    last_ckpt_poses = frontend.get_num_poses()
+    last_ckpt_poses = n_poses = frontend.get_num_poses()
 
     profiler_ctx = None
     if args.profile_dir:
@@ -290,7 +290,11 @@ def main(argv=None) -> int:
             left, right = payload
             frames_seen += 1
             added = frontend.observe_image(left, right, t)
-            n_poses = frontend.get_num_poses()
+            # Count keyframes locally: get_num_poses flushes the frontend's
+            # one-deep result pipeline, which would put the device->host fetch
+            # back on the critical path every frame.
+            if added:
+                n_poses += 1
             if added and viewer is not None:
                 # Per-keyframe live publishing (the reference's
                 # PublishVisualization after every new pose,

@@ -83,6 +83,13 @@ class Frontend:
         self._last_image_shape = None
         self._stats: List[dict] = []
         self.verbosity = 0
+        # Result pipelining: the device result of keyframe k is fetched while
+        # keyframe k+1 computes (one entry deep), hiding the device->host
+        # transfer behind compute. `_pending` holds (host context, device
+        # result) for the newest keyframe; every public accessor flushes it
+        # first, so observable state is always consistent. Disabled when
+        # config.validate (validation wants errors AT the offending frame).
+        self._pending = None
         # Streaming debug sink: when set (callable(entry, frontend)), each
         # keyframe's debug entry is handed over immediately instead of being
         # buffered in _debug_data — keeps memory flat on long runs (the
@@ -162,21 +169,66 @@ class Frontend:
             scale_factor=self.config.pyramid_scale,
             descriptor_family=self.config.descriptor_family,
         )
-        r: KeyframeResult = jax.device_get(result)
+        # Host context the deferred accumulation needs (odometry snapshot at
+        # THIS keyframe; raw images only when debug images are on).
+        ctx = {
+            "fid": fid,
+            "timestamp": self._odom_timestamp,
+            "odom_t": self._odom_t.copy(),
+            "odom_q": self._odom_q.copy(),
+            "prev_odom_t": self._prev_odom_t.copy(),
+            "prev_odom_q": self._prev_odom_q.copy(),
+            "image_shape": np.shape(left_image)[:2],
+        }
+        if self.config.debug_images:
+            ctx["left_image"] = np.asarray(left_image)
+            ctx["right_image"] = np.asarray(right_image)
+        elif not self.config.validate:
+            # Host-unused fields are excluded from the fetch: pixels_raw /
+            # right_pixels_raw only feed debug drawing, window_match_dist is
+            # device-internal — dropping them cuts the per-keyframe
+            # device->host transfer (~60 KB at K=512, W=10). (Validation mode
+            # keeps everything: check_keyframe_result inspects raw pixels.)
+            result = result.replace(
+                pixels_raw=None, right_pixels_raw=None, window_match_dist=None
+            )
+        if self.config.validate:
+            # Validation wants the error AT the offending frame: synchronous.
+            self._flush_pending()
+            self._materialize(ctx, jax.device_get(result))
+        else:
+            # Pipeline one deep: fetch keyframe k-1 while k computes.
+            self._flush_pending()
+            self._pending = (ctx, result)
+        self._prev_odom_t = self._odom_t.copy()
+        self._prev_odom_q = self._odom_q.copy()
+        self._curr_frame_id += 1
+        return True
+
+    def _flush_pending(self) -> None:
+        if self._pending is None:
+            return
+        ctx, result = self._pending
+        self._pending = None
+        self._materialize(ctx, jax.device_get(result))
+
+    def _materialize(self, ctx: dict, r: KeyframeResult) -> None:
+        """Host-side bookkeeping for one fetched keyframe result."""
+        fid = ctx["fid"]
         if self.config.validate:
             from vision_slam_frontend_tpu.utils.checks import check_keyframe_result
 
             check_keyframe_result(
-                fid, r, np.shape(left_image)[:2], self.config.max_features
+                fid, r, ctx["image_shape"], self.config.max_features
             )
-        self._accumulate(fid, r)
+        self._accumulate(fid, r, ctx)
         # Per-keyframe observability (the reference's only metric is one
         # end-of-run summary line; SURVEY.md section 5).
         matched_per_slot = np.asarray(r.window_matched).sum(axis=1)
         self._stats.append(
             {
                 "frame_id": fid,
-                "timestamp": self._odom_timestamp,
+                "timestamp": ctx["timestamp"],
                 "num_features": int(r.num_features),
                 "num_stereo_candidates": int(r.num_stereo_candidates),
                 "stereo_threshold": float(r.stereo_threshold),
@@ -193,20 +245,16 @@ class Frontend:
         if self.config.debug_images:
             entry = {
                 "frame_id": fid,
-                "left_image": np.asarray(left_image),
-                "right_image": np.asarray(right_image),
+                "left_image": ctx["left_image"],
+                "right_image": ctx["right_image"],
                 "result": r,
             }
             if self.debug_sink is not None:
                 self.debug_sink(entry, self)
             else:
                 self._debug_data.append(entry)
-        self._prev_odom_t = self._odom_t.copy()
-        self._prev_odom_q = self._odom_q.copy()
-        self._curr_frame_id += 1
-        return True
 
-    def _accumulate(self, fid: int, r: KeyframeResult) -> None:
+    def _accumulate(self, fid: int, r: KeyframeResult, ctx: dict) -> None:
         """Convert one keyframe's device outputs into problem entries."""
         n = int(r.num_features)
         feats = [
@@ -221,12 +269,12 @@ class Frontend:
         # World pose relative to odometry start
         # (reference: src/slam_frontend.cc:444-446).
         q_init_inv = np_geom.quat_inverse(self._init_odom_q)
-        loc = np_geom.quat_rotate(q_init_inv, self._odom_t - self._init_odom_t)
-        angle = np_geom.quat_multiply(self._odom_q, q_init_inv)
+        loc = np_geom.quat_rotate(q_init_inv, ctx["odom_t"] - self._init_odom_t)
+        angle = np_geom.quat_multiply(ctx["odom_q"], q_init_inv)
         self._nodes.append(
             SLAMNode(
                 node_idx=fid,
-                timestamp=self._odom_timestamp,
+                timestamp=ctx["timestamp"],
                 pose=RobotPose(loc=loc.astype(np.float32), angle=angle.astype(np.float32)),
                 features=feats,
             )
@@ -255,15 +303,15 @@ class Frontend:
         # Odometry factor between consecutive keyframes
         # (reference: src/slam_frontend.cc:311-321 AddOdometryFactor).
         if fid > 0:
-            q_prev_inv = np_geom.quat_inverse(self._prev_odom_q)
+            q_prev_inv = np_geom.quat_inverse(ctx["prev_odom_q"])
             self._odometry_factors.append(
                 OdometryFactor(
                     pose_i=fid - 1,
                     pose_j=fid,
                     translation=np_geom.quat_rotate(
-                        q_prev_inv, self._odom_t - self._prev_odom_t
+                        q_prev_inv, ctx["odom_t"] - ctx["prev_odom_t"]
                     ).astype(np.float32),
-                    rotation=np_geom.quat_multiply(self._odom_q, q_prev_inv).astype(
+                    rotation=np_geom.quat_multiply(ctx["odom_q"], q_prev_inv).astype(
                         np.float32
                     ),
                 )
@@ -277,6 +325,7 @@ class Frontend:
     def save_checkpoint(self, path: str) -> None:
         """Snapshot the full frontend state: accumulated problem, device
         window state, odometry latch, frame counter."""
+        self._flush_pending()
         import jax
 
         from vision_slam_frontend_tpu.io.serialize import problem_to_arrays
@@ -356,6 +405,7 @@ class Frontend:
 
     def get_slam_problem(self) -> SLAMProblem:
         """(reference: src/slam_frontend.cc:498-503 GetSLAMProblem)"""
+        self._flush_pending()
         return SLAMProblem(
             nodes=list(self._nodes),
             vision_factors=list(self._vision_factors),
@@ -363,6 +413,7 @@ class Frontend:
         )
 
     def get_num_poses(self) -> int:
+        self._flush_pending()
         return len(self._nodes)
 
     def update_poses(self, nodes_or_t, poses_q=None) -> int:
@@ -375,6 +426,7 @@ class Frontend:
         write-back seam for BA refinement — callers must not reach into
         `_nodes` (get_slam_problem copies the node LIST, not the nodes, so
         mutating its result aliases internal state)."""
+        self._flush_pending()
         if poses_q is None:
             by_idx = {n.node_idx: n for n in self._nodes}
             count = 0
@@ -404,15 +456,18 @@ class Frontend:
     @property
     def node_track_ids(self) -> List[np.ndarray]:
         """Per-node persistent track ids (framework extension for BA)."""
+        self._flush_pending()
         return self._node_track_ids
 
     @property
     def stats(self) -> List[dict]:
         """Per-keyframe pipeline statistics (features, stereo survival,
         adaptive threshold, window match counts)."""
+        self._flush_pending()
         return self._stats
 
     def stats_summary(self) -> dict:
+        self._flush_pending()
         if not self._stats:
             return {}
         feats = [s["num_features"] for s in self._stats]
@@ -430,7 +485,9 @@ class Frontend:
     # Debug accessors (reference: getDebugImages / GetLastDebugImage etc.)
 
     def get_debug_data(self) -> List[dict]:
+        self._flush_pending()
         return self._debug_data
 
     def get_last_debug_data(self) -> Optional[dict]:
+        self._flush_pending()
         return self._debug_data[-1] if self._debug_data else None
