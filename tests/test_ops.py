@@ -311,3 +311,111 @@ class TestDescriptorRegistry:
             assert len(calls) == 2  # left + right went through the registry
         finally:
             _REGISTRY.pop("traced", None)
+
+
+class TestHighKMatching:
+    """Large-K matching paths: the streamed blocked top-2 and the sort+cumsum
+    best-percent cut must reproduce the reference formulations bit-for-bit
+    (they dispatch by K inside jit, so drift would be silent)."""
+
+    def _random_descs(self, K, seed):
+        rng = np.random.default_rng(seed)
+        return jnp.asarray(rng.integers(0, 2**32, (K, 8), dtype=np.uint32))
+
+    def test_streamed_knn2_matches_dense(self):
+        from vision_slam_frontend_tpu.ops.brief import unpack_bits
+        from vision_slam_frontend_tpu.ops.hamming import (
+            _knn2_match_streamed,
+            hamming_distance_matrix,
+            knn2_match,
+        )
+
+        rng = np.random.default_rng(3)
+        dq = self._random_descs(512, 1)
+        dt = self._random_descs(2048, 2)
+        valid_t = jnp.asarray(rng.uniform(size=2048) < 0.9)
+        bq, bt = unpack_bits(dq), unpack_bits(dt)
+        i_ref, d1_ref, d2_ref = knn2_match(
+            hamming_distance_matrix(bq, bt), valid_t
+        )
+        i_s, d1_s, d2_s = _knn2_match_streamed(bq, bt, valid_t, block=512)
+        np.testing.assert_array_equal(np.asarray(d1_s), np.asarray(d1_ref))
+        np.testing.assert_array_equal(np.asarray(d2_s), np.asarray(d2_ref))
+        # Ties in integer Hamming distances are possible across blocks; both
+        # formulations must pick the LOWEST index.
+        np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_ref))
+
+    def test_knn2_tie_picks_lowest_index(self):
+        from vision_slam_frontend_tpu.ops.hamming import knn2_match
+
+        dist = jnp.asarray(
+            np.array([[5.0, 3.0, 3.0, 7.0], [2.0, 2.0, 2.0, 2.0]], np.float32)
+        )
+        valid = jnp.ones(4, bool)
+        idx, d1, d2 = knn2_match(dist, valid)
+        np.testing.assert_array_equal(np.asarray(idx), [1, 0])
+        np.testing.assert_array_equal(np.asarray(d1), [3.0, 2.0])
+        np.testing.assert_array_equal(np.asarray(d2), [3.0, 2.0])
+
+    def test_best_percent_large_k_matches_counting(self):
+        from vision_slam_frontend_tpu.ops.hamming import best_percent_mask
+
+        rng = np.random.default_rng(7)
+        K = 4096  # > the 1024 counting/sort dispatch threshold
+        # INTEGER distances: heavy ties, the hard case for cut-value logic.
+        dist = jnp.asarray(rng.integers(0, 40, K).astype(np.float32))
+        matched = jnp.asarray(rng.uniform(size=K) < 0.6)
+        got = np.asarray(best_percent_mask(dist, matched, 0.3))
+
+        # Reference: the O(K^2) stable counting rank, in numpy.
+        d = np.where(np.asarray(matched), np.asarray(dist), 1e9)
+        less = d[None, :] < d[:, None]
+        idx = np.arange(K)
+        tie = (d[None, :] == d[:, None]) & (idx[None, :] < idx[:, None])
+        ranks = (less | tie).sum(axis=1)
+        num_good = int(np.asarray(matched).sum() * 0.3)
+        want = np.asarray(matched) & (ranks < num_good)
+        np.testing.assert_array_equal(got, want)
+        assert got.sum() == num_good  # the cut keeps exactly num_good
+
+    def test_best_percent_large_k_zero_matches(self):
+        from vision_slam_frontend_tpu.ops.hamming import best_percent_mask
+
+        dist = jnp.zeros(2048, jnp.float32)
+        matched = jnp.zeros(2048, bool)
+        got = np.asarray(best_percent_mask(dist, matched, 0.3))
+        assert not got.any()
+
+    def test_match_window_large_k_dispatch(self):
+        """match_window at K=2048+ (streamed path) agrees with the dense
+        formulation forced via a non-1024-multiple padding."""
+        from vision_slam_frontend_tpu.ops.hamming import match_window
+
+        rng = np.random.default_rng(11)
+        W, K = 3, 3072
+        dw = jnp.asarray(rng.integers(0, 2**32, (W, K, 8), dtype=np.uint32))
+        dc = jnp.asarray(rng.integers(0, 2**32, (K, 8), dtype=np.uint32))
+        vw = jnp.asarray(rng.uniform(size=(W, K)) < 0.8)
+        vc = jnp.asarray(rng.uniform(size=K) < 0.8)
+        idx_s, dist_s, m_s = match_window(dw, vw, dc, vc, 0.9, 0.5)
+        # Dense reference: pad the train set by one slot (K+... keeps K
+        # below/off the stream dispatch) — instead just call the dense pieces.
+        from vision_slam_frontend_tpu.ops.brief import unpack_bits
+        from vision_slam_frontend_tpu.ops.hamming import (
+            best_percent_mask,
+            hamming_distance_matrix,
+            knn2_match,
+        )
+        import jax
+
+        bq = jax.vmap(unpack_bits)(dw)
+        bt = unpack_bits(dc)
+        dist = hamming_distance_matrix(bq.reshape(W * K, -1), bt).reshape(W, K, K)
+        bi, d1, d2 = jax.vmap(lambda d: knn2_match(d, vc))(dist)
+        matched = vw & (d1 < 0.9 * d2) & (d1 < 300.0)
+        d1m = jnp.where(matched, d1, 1e9)
+        keep = jax.vmap(lambda d, m: best_percent_mask(d, m, 0.5))(d1m, matched)
+        np.testing.assert_array_equal(np.asarray(m_s), np.asarray(keep))
+        np.testing.assert_array_equal(
+            np.asarray(idx_s)[np.asarray(m_s)], np.asarray(bi)[np.asarray(keep)]
+        )

@@ -84,6 +84,12 @@ def knn2_match(
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-query best and second-best over the train axis.
 
+    min/argmin + one masked second pass instead of lax.top_k: top_k lowers
+    to a full row sort on this toolchain, which is the dominant cost of the
+    whole keyframe step at K >= 2048 (measured: the K=8192 step spent
+    ~0.5 s in it). Three cheap reduction passes are rank-2-exact, and ties
+    resolve to the lowest index exactly like top_k.
+
     Args:
       dist: (Kq, Kt) distances.
       valid_t: (Kt,) bool train validity (invalid columns are ignored).
@@ -92,9 +98,83 @@ def knn2_match(
       (best_idx (Kq,) int32, best_dist (Kq,), second_dist (Kq,)).
     """
     masked = jnp.where(valid_t[None, :], dist, _LARGE)
-    neg_top2, idx_top2 = lax.top_k(-masked, 2)
-    best_idx = idx_top2[:, 0].astype(jnp.int32)
-    return best_idx, -neg_top2[:, 0], -neg_top2[:, 1]
+    best_idx = jnp.argmin(masked, axis=1).astype(jnp.int32)
+    d1 = jnp.take_along_axis(masked, best_idx[:, None], axis=1)[:, 0]
+    cols = jnp.arange(masked.shape[1])
+    d2 = jnp.min(
+        jnp.where(cols[None, :] == best_idx[:, None], _LARGE, masked), axis=1
+    )
+    return best_idx, d1, d2
+
+
+def _knn2_match_streamed(
+    bits_q: jnp.ndarray,
+    bits_t: jnp.ndarray,
+    valid_t: jnp.ndarray,
+    block: int = 1024,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Blocked top-2 Hamming match: never materializes the (Kq, Kt) matrix.
+
+    At K=8192 the full window distance matrix is (W*K, K) f32 = 2.7 GB of
+    HBM traffic per extra pass; streaming the train axis in `block`-column
+    tiles keeps the working set at (Kq, block) and folds the top-2 merge
+    into a lax.scan — the flash-attention-style formulation of kNN.
+
+    Args:
+      bits_q: (Kq, 256) unpacked {0,1} queries.
+      bits_t: (Kt, 256) unpacked {0,1} trains; Kt must divide by `block`.
+      valid_t: (Kt,) bool.
+
+    Returns:
+      (best_idx (Kq,) int32, best_dist (Kq,), second_dist (Kq,)).
+    """
+    Kq, D = bits_q.shape
+    Kt = bits_t.shape[0]
+    assert Kt % block == 0, (Kt, block)
+    nb = Kt // block
+    bq = bits_q.astype(jnp.bfloat16)
+    pop_q = jnp.sum(bits_q, axis=-1)
+    bt_blocks = bits_t.astype(jnp.bfloat16).reshape(nb, block, D)
+    pop_t = jnp.sum(bits_t, axis=-1).reshape(nb, block)
+    v_blocks = valid_t.reshape(nb, block)
+    base = (jnp.arange(nb) * block).astype(jnp.int32)
+    cols = jnp.arange(block)
+
+    def body(carry, blk):
+        d1, d2, i1 = carry
+        btb, ptb, vb, b0 = blk
+        cross = lax.dot_general(
+            bq, btb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d = pop_q[:, None] + ptb[None, :] - 2.0 * cross
+        d = jnp.where(vb[None, :], d, _LARGE)
+        bi = jnp.argmin(d, axis=1)
+        bd1 = jnp.take_along_axis(d, bi[:, None], axis=1)[:, 0]
+        bd2 = jnp.min(
+            jnp.where(cols[None, :] == bi[:, None], _LARGE, d), axis=1
+        )
+        gi = b0 + bi.astype(jnp.int32)
+        # Merge running (d1, d2, i1) with block (bd1, bd2, gi). Strict <
+        # keeps the earlier (lower-index) block on ties — matching the
+        # single-pass argmin's lowest-index tie rule.
+        nd1 = jnp.minimum(d1, bd1)
+        ni1 = jnp.where(bd1 < d1, gi, i1)
+        nd2 = jnp.minimum(jnp.maximum(d1, bd1), jnp.minimum(d2, bd2))
+        return (nd1, nd2, ni1), None
+
+    init = (
+        jnp.full(Kq, _LARGE, jnp.float32),
+        jnp.full(Kq, _LARGE, jnp.float32),
+        jnp.zeros(Kq, jnp.int32),
+    )
+    (d1, d2, i1), _ = lax.scan(body, init, (bt_blocks, pop_t, v_blocks, base))
+    return i1, d1, d2
+
+
+# Above this train-set size, stream the distance matrix in blocks instead of
+# materializing (Kq, Kt) in HBM (measured crossover on v5e: BASELINE.md).
+_STREAM_THRESHOLD = 2048
 
 
 @jax.jit
@@ -128,8 +208,12 @@ def ratio_test_match(
     else:
         bq = unpack_bits(desc_q)
         bt = unpack_bits(desc_t)
-        dist = hamming_distance_matrix(bq, bt)
-        best_idx, d1, d2 = knn2_match(dist, valid_t)
+        Kt = desc_t.shape[0]
+        if Kt > _STREAM_THRESHOLD and Kt % 1024 == 0:
+            best_idx, d1, d2 = _knn2_match_streamed(bq, bt, valid_t)
+        else:
+            dist = hamming_distance_matrix(bq, bt)
+            best_idx, d1, d2 = knn2_match(dist, valid_t)
     matched = valid_q & (d1 < ratio * d2) & (d1 < 300.0)  # 256 max real distance
     return (
         jnp.where(matched, best_idx, 0),
@@ -150,18 +234,30 @@ def best_percent_mask(
     shapes stay static.
     """
     masked = jnp.where(matched, dist, _LARGE)
-    # Counting ranks instead of argsort: rank_i = #{j : d_j < d_i or
-    # (d_j == d_i and j < i)} — a (K, K) comparison reduction that runs on
-    # the VPU, much cheaper on TPU than a sort, and identical to a stable
-    # ascending sort's ranks.
     K = masked.shape[0]
-    less = masked[None, :] < masked[:, None]
-    idx = jnp.arange(K)
-    tie_before = (masked[None, :] == masked[:, None]) & (idx[None, :] < idx[:, None])
-    ranks = jnp.sum((less | tie_before).astype(jnp.int32), axis=1)
     num_valid = jnp.sum(matched.astype(jnp.int32))
     num_good = (num_valid.astype(jnp.float32) * best_percent).astype(jnp.int32)
-    return matched & (ranks < num_good)
+    if K <= 1024:
+        # Counting ranks instead of argsort: rank_i = #{j : d_j < d_i or
+        # (d_j == d_i and j < i)} — a (K, K) comparison reduction that runs
+        # on the VPU, cheaper than a sort at these sizes, and identical to a
+        # stable ascending sort's ranks.
+        less = masked[None, :] < masked[:, None]
+        idx = jnp.arange(K)
+        tie_before = (masked[None, :] == masked[:, None]) & (idx[None, :] < idx[:, None])
+        ranks = jnp.sum((less | tie_before).astype(jnp.int32), axis=1)
+        return matched & (ranks < num_good)
+    # Large K: the K^2 counting reduction loses to one K-row sort. Exact
+    # stable-rank semantics via the cut value: keep everything strictly below
+    # the num_good-th smallest distance, and break ties AT the cut value by
+    # index order (cumsum), which reproduces counting-rank output bit-for-bit.
+    sorted_d = jnp.sort(masked)
+    v = sorted_d[jnp.maximum(num_good - 1, 0)]
+    n_less = jnp.sum((masked < v) & matched)
+    tie = matched & (masked == v)
+    tie_rank = jnp.cumsum(tie.astype(jnp.int32)) - tie.astype(jnp.int32)
+    keep = (masked < v) | (tie & (tie_rank < num_good - n_less))
+    return matched & keep & (num_good > 0)
 
 
 @partial(jax.jit, static_argnames=())
@@ -206,8 +302,19 @@ def match_window(
     else:
         bq = jax.vmap(unpack_bits)(desc_window)  # (W, K, 256)
         bt = unpack_bits(desc_curr)  # (K, 256)
-        dist = hamming_distance_matrix(bq.reshape(W * K, -1), bt).reshape(W, K, K)
-        best_idx, d1, d2 = jax.vmap(lambda d: knn2_match(d, valid_curr))(dist)
+        Kt = desc_curr.shape[0]
+        if Kt > _STREAM_THRESHOLD and Kt % 1024 == 0:
+            # Large K: stream train blocks — the (W*K, K) f32 matrix would be
+            # GBs of HBM traffic per pass (2.7 GB at K=8192, W=10).
+            i_f, d1_f, d2_f = _knn2_match_streamed(
+                bq.reshape(W * K, -1), bt, valid_curr
+            )
+            best_idx = i_f.reshape(W, K)
+            d1 = d1_f.reshape(W, K)
+            d2 = d2_f.reshape(W, K)
+        else:
+            dist = hamming_distance_matrix(bq.reshape(W * K, -1), bt).reshape(W, K, K)
+            best_idx, d1, d2 = jax.vmap(lambda d: knn2_match(d, valid_curr))(dist)
     matched = valid_window & (d1 < ratio * d2) & (d1 < 300.0)
     d1m = jnp.where(matched, d1, _LARGE)
     keep = jax.vmap(lambda d, m: best_percent_mask(d, m, best_percent))(d1m, matched)
