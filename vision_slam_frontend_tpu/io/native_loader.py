@@ -19,7 +19,6 @@ from typing import Iterator, List, Optional, Tuple
 import numpy as np
 
 _LIB = None
-_LIB_TRIED = False
 
 
 class _BagConnection(ctypes.Structure):
@@ -48,11 +47,15 @@ def _lib_path() -> str:
 
 
 def load_native():
-    """Load (and memoize) the native library; None if unavailable."""
-    global _LIB, _LIB_TRIED
-    if _LIB_TRIED:
+    """Load (and memoize) the native library; None if unavailable.
+
+    Only successful loads are memoized: a transient dlopen failure (e.g.
+    fd exhaustion while other tests fork subprocesses) must not disable the
+    native path for the rest of the process.
+    """
+    global _LIB
+    if _LIB is not None:
         return _LIB
-    _LIB_TRIED = True
     path = _lib_path()
     if not os.path.exists(path):
         return None

@@ -42,7 +42,8 @@ def _use_pallas_fast() -> bool:
 
     Opt-in via VSF_ENABLE_PALLAS=1 (or a comma list containing "fast");
     requires a TPU backend. Measured on v5e (640x480, composed in the full
-    keyframe step): see BASELINE.md Pallas notes.
+    keyframe step, round 2): 108.8 fps vs 105-108 fps pure-XLA — parity
+    within tunnel noise. See BASELINE.md "Pallas vs XLA".
     """
     import os
 

@@ -36,12 +36,13 @@ def _use_pallas(*dims, site: str = "") -> bool:
 
     Opt-in via VSF_ENABLE_PALLAS=1 (or a comma list of sites: "stereo",
     "window"), TPU backend + 128-aligned shapes required. Measured status on
-    TPU v5e: the Pallas kernel wins standalone (0.85 vs 0.97 ms at 5120x512 —
-    no HBM materialization of the distance matrix), but composed inside the
-    full jitted keyframe step it currently slows the step ~2x (suspected
-    layout relayout of the (K, 8) uint32 operands at the Mosaic boundary),
-    so the MXU matmul formulation stays the default. Both paths are
-    parity-tested against each other.
+    TPU v5e (round 2): the Pallas kernel wins standalone (0.85 vs 0.97 ms at
+    5120x512 — no HBM materialization of the distance matrix); composed in
+    the full jitted keyframe step it is at parity with the MXU matmul
+    formulation (110.5 vs 105-108 fps at K=512, within tunnel noise — the
+    round-1 ~2x composed regression disappeared once lax.top_k left the
+    matching path). The MXU formulation stays the default; both paths are
+    parity-tested against each other. Numbers: BASELINE.md "Pallas vs XLA".
     """
     import os
 
