@@ -60,8 +60,11 @@ class Frontend:
             config = FrontendConfig.load(config)
         self.config = config
         self._params = StepParams.from_config(config)
+        from vision_slam_frontend_tpu.ops.descriptors import get_family
+
         self._state = WindowState.create(
-            config.frame_life, config.max_features, config.stereo_threshold_init
+            config.frame_life, config.max_features, config.stereo_threshold_init,
+            words=get_family(config.descriptor_family).words,
         )
         self._curr_frame_id = 0
 

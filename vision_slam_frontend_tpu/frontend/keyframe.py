@@ -80,7 +80,7 @@ class WindowState:
     """
 
     kps: Any  # (W, K, 2) f32 raw pixel coords
-    desc: Any  # (W, K, 8) u32 packed descriptors
+    desc: Any  # (W, K, words) u32 packed descriptors (8 for ORB, 16 for BRISK)
     valid: Any  # (W, K) bool
     track_id: Any  # (W, K) i32
     frame_id: Any  # (W,) i32, -1 for empty slots
@@ -88,10 +88,16 @@ class WindowState:
     stereo_threshold: Any  # scalar f32
 
     @classmethod
-    def create(cls, window: int, capacity: int, stereo_threshold_init: float) -> "WindowState":
+    def create(
+        cls,
+        window: int,
+        capacity: int,
+        stereo_threshold_init: float,
+        words: int = 8,
+    ) -> "WindowState":
         return cls(
             kps=jnp.zeros((window, capacity, 2), jnp.float32),
-            desc=jnp.zeros((window, capacity, 8), jnp.uint32),
+            desc=jnp.zeros((window, capacity, words), jnp.uint32),
             valid=jnp.zeros((window, capacity), bool),
             track_id=jnp.zeros((window, capacity), jnp.int32),
             frame_id=jnp.full((window,), -1, jnp.int32),

@@ -175,19 +175,22 @@ def _bilinear_sample(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.
 
 
 def pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
-    """(K, 256) {0,1} -> (K, 8) uint32, little-endian within each word."""
-    K = bits.shape[0]
-    b = bits.astype(jnp.uint32).reshape(K, NUM_WORDS, 32)
+    """(K, 32*words) {0,1} -> (K, words) uint32, little-endian per word.
+
+    Width-generic: 256-bit ORB packs to 8 words, 512-bit BRISK to 16."""
+    K, nbits = bits.shape
+    b = bits.astype(jnp.uint32).reshape(K, nbits // 32, 32)
     shifts = jnp.arange(32, dtype=jnp.uint32)
     return jnp.sum(b << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
 
 
 def unpack_bits(packed: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
-    """(K, 8) uint32 -> (K, 256) {0,1} in `dtype` (float for MXU matmul)."""
-    K = packed.shape[0]
+    """(K, words) uint32 -> (K, 32*words) {0,1} in `dtype` (float for MXU
+    matmul); width inferred from the input."""
+    K, words = packed.shape
     shifts = jnp.arange(32, dtype=jnp.uint32)
     bits = (packed[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
-    return bits.reshape(K, NUM_BITS).astype(dtype)
+    return bits.reshape(K, words * 32).astype(dtype)
 
 
 @partial(jax.jit, static_argnames=("method",))

@@ -70,11 +70,17 @@ def registered_families() -> list[str]:
 
 def _register_builtins() -> None:
     from vision_slam_frontend_tpu.ops.brief import detect_and_describe
+    from vision_slam_frontend_tpu.ops.brisk import detect_and_describe_brisk
 
     # ORB family: FAST-9 corners + quantized-rotation steered BRIEF, 256 bits
     # packed into 8 uint32 words (reference ORB config:
     # src/slam_frontend.cc:205-207).
     register_family("orb", detect_and_describe, distance="hamming", words=8)
+    # BRISK family: concentric-ring pattern with per-ring smoothing, 512 bits
+    # in 16 words (reference BRISK option: src/slam_frontend.cc:216-220).
+    register_family(
+        "brisk", detect_and_describe_brisk, distance="hamming", words=16
+    )
 
 
 _register_builtins()

@@ -31,7 +31,7 @@ from vision_slam_frontend_tpu.ops.brief import unpack_bits
 _LARGE = 1e9
 
 
-def _use_pallas(*dims, site: str = "") -> bool:
+def _use_pallas(*dims, site: str = "", words: int = 8) -> bool:
     """Select the fused Pallas hamming kernel for this call site.
 
     Opt-in via VSF_ENABLE_PALLAS=1 (or a comma list of sites: "stereo",
@@ -48,6 +48,8 @@ def _use_pallas(*dims, site: str = "") -> bool:
 
     flag = os.environ.get("VSF_ENABLE_PALLAS", "")
     if not (flag == "1" or (site and site in flag.split(","))):
+        return False
+    if words != 8:  # the Mosaic kernel is written for 256-bit (K, 8) operands
         return False
     try:
         if jax.default_backend() != "tpu":
@@ -202,7 +204,9 @@ def ratio_test_match(
       dist: (Kq,) float32 match distance (+LARGE where invalid).
       matched: (Kq,) bool.
     """
-    if _use_pallas(desc_q.shape[0], desc_t.shape[0], site="stereo"):
+    if _use_pallas(
+        desc_q.shape[0], desc_t.shape[0], site="stereo", words=desc_q.shape[1]
+    ):
         from vision_slam_frontend_tpu.ops.pallas_kernels import hamming_top2
 
         best_idx, d1, d2 = hamming_top2(desc_q, desc_t, valid_t)
@@ -289,7 +293,9 @@ def match_window(
       matched: (W, K) bool (ratio test + per-frame best-percent cut applied).
     """
     W, K, _ = desc_window.shape
-    if _use_pallas(W * K, desc_curr.shape[0], site="window"):
+    if _use_pallas(
+        W * K, desc_curr.shape[0], site="window", words=desc_curr.shape[1]
+    ):
         from vision_slam_frontend_tpu.ops.pallas_kernels import hamming_top2
 
         # All W past frames share the current train set: flatten to one
