@@ -31,7 +31,7 @@ def _frames(rig, n):
     return list(generate_sequence(num_frames=n, step=0.25, rig=rig))
 
 
-def bench_step(capacity, window, n_unique, mfu=False, num_levels=1):
+def bench_step(capacity, window, n_unique, mfu=False, num_levels=1, family="orb"):
     """Device keyframe step, chained (single end-of-window sync)."""
     import jax
     import jax.numpy as jnp
@@ -47,10 +47,15 @@ def bench_step(capacity, window, n_unique, mfu=False, num_levels=1):
     rig = SyntheticRig()
     config = FrontendConfig(
         calib=rig.calib(), max_features=capacity, frame_life=window,
-        fast_threshold=12.0, num_levels=num_levels,
+        fast_threshold=12.0, num_levels=num_levels, descriptor_family=family,
     )
     params = StepParams.from_config(config)
-    state = WindowState.create(window, capacity, config.stereo_threshold_init)
+    from vision_slam_frontend_tpu.ops.descriptors import get_family
+
+    state = WindowState.create(
+        window, capacity, config.stereo_threshold_init,
+        words=get_family(family).words,
+    )
 
     frames = _frames(rig, n_unique + 3)
     # uint8 transfer (4x less host->device traffic); device casts to f32.
@@ -68,6 +73,7 @@ def bench_step(capacity, window, n_unique, mfu=False, num_levels=1):
             capacity=capacity, window=window,
             border=config.detect_border, blur_sigma=config.blur_sigma,
             num_levels=num_levels, scale_factor=config.pyramid_scale,
+            descriptor_family=family,
         )
 
     # Warmup / compile.
@@ -166,6 +172,7 @@ def main() -> None:
     ap.add_argument("--levels", type=int, default=1)
     ap.add_argument("--unique-frames", type=int, default=12)
     ap.add_argument("--mfu", action="store_true")
+    ap.add_argument("--family", default="orb", help="descriptor family (orb, brisk)")
     args = ap.parse_args()
 
     if args.mode == "frontend":
@@ -173,7 +180,7 @@ def main() -> None:
         metric = "stereo_frontend_end_to_end_fps_per_chip"
     else:
         r = bench_step(args.k, args.window, args.unique_frames, mfu=args.mfu,
-                       num_levels=args.levels)
+                       num_levels=args.levels, family=args.family)
         metric = "stereo_frontend_fps_per_chip"
     fps = r.pop("fps")
     print(
@@ -181,7 +188,9 @@ def main() -> None:
             {
                 "metric": metric,
                 "value": round(fps, 2),
-                "unit": f"keyframes/s (K={args.k}, W={args.window}, 640x480)",
+                "unit": f"keyframes/s (K={args.k}, W={args.window}, 640x480"
+                + (f", {args.family}" if args.family != "orb" else "")
+                + ")",
                 "vs_baseline": round(fps / 30.0, 3),
                 **{k: round(v, 3) if isinstance(v, float) else v for k, v in r.items()},
             }

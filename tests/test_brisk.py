@@ -155,6 +155,16 @@ class TestRegistryIntegration:
         assert min(feats) > 50, feats
         assert len(p.vision_factors) > 0
 
+    def test_cli_descriptor_family_flag(self, tmp_path):
+        from vision_slam_frontend_tpu.cli.slam_frontend import main
+
+        out = tmp_path / "p.npz"
+        rc = main([
+            "--input", "synthetic:5", "--output", str(out),
+            "--descriptor_family", "brisk", "--max_features", "128",
+        ])
+        assert rc == 0 and out.exists()
+
     def test_brisk_temporal_matching_consistent(self):
         """Cross-frame matches under BRISK land on the same physical tracks:
         matched pixels of consecutive keyframes stay within a tight radius

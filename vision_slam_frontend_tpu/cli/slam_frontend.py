@@ -161,6 +161,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_features", type=int, default=None, help="override feature capacity K")
     p.add_argument("--frame_life", type=int, default=None, help="override temporal window W")
     p.add_argument(
+        "--descriptor_family", default=None,
+        help="descriptor family from the registry (orb, brisk, ...) — the "
+        "reference's -descriptor_extract_type switch",
+    )
+    p.add_argument(
         "--local_ba", type=int, default=0,
         help="run windowed local bundle adjustment over the last N keyframes "
         "after each new keyframe (0 = off)",
@@ -193,6 +198,8 @@ def main(argv=None) -> int:
         overrides["max_features"] = args.max_features
     if args.frame_life is not None:
         overrides["frame_life"] = args.frame_life
+    if args.descriptor_family is not None:
+        overrides["descriptor_family"] = args.descriptor_family
     if args.save_debug:
         overrides["debug_images"] = True
     if args.validate:
