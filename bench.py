@@ -125,7 +125,7 @@ def bench_step(capacity, window, n_unique, mfu=False, num_levels=1, family="orb"
     return out
 
 
-def bench_frontend(capacity, window, n_unique):
+def bench_frontend(capacity, window, n_unique, num_levels=1, family="orb"):
     """Full Frontend end-to-end: odometry gating + device step + pipelined
     result fetch + host problem accumulation (what a real deployment runs)."""
     from vision_slam_frontend_tpu.frontend import Frontend, FrontendConfig
@@ -134,7 +134,7 @@ def bench_frontend(capacity, window, n_unique):
     rig = SyntheticRig()
     config = FrontendConfig(
         calib=rig.calib(), max_features=capacity, frame_life=window,
-        fast_threshold=12.0,
+        fast_threshold=12.0, num_levels=num_levels, descriptor_family=family,
     )
     frames = _frames(rig, n_unique + 3)
 
@@ -164,6 +164,75 @@ def bench_frontend(capacity, window, n_unique):
     return {"fps": n_iters / best}
 
 
+def pallas_parity_check():
+    """On-chip Mosaic-vs-XLA parity: certifies the compiled Pallas kernels
+    still agree with the XLA reference path on real hardware each round
+    (tests/test_pallas.py covers interpret mode on CPU; this is the TPU pin).
+    Returns a short status string recorded in the bench JSON line."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        return "skipped (backend is not tpu)"
+    try:
+        from vision_slam_frontend_tpu.ops.brief import unpack_bits
+        from vision_slam_frontend_tpu.ops.hamming import (
+            hamming_distance_matrix,
+            knn2_match,
+        )
+        from vision_slam_frontend_tpu.ops.fast import fast_detect, fast_scores
+        from vision_slam_frontend_tpu.ops.pallas_kernels import (
+            fast_scores_nms,
+            hamming_top2,
+        )
+
+        rng = np.random.default_rng(0)
+        # Hamming kNN(2): both descriptor widths (ORB 8 words, BRISK 16).
+        for words in (8, 16):
+            q = jnp.asarray(rng.integers(0, 2**32, size=(512, words), dtype=np.uint32))
+            t = jnp.asarray(rng.integers(0, 2**32, size=(512, words), dtype=np.uint32))
+            v = jnp.asarray(rng.random(512) > 0.1)
+            i_p, d1_p, d2_p = map(np.asarray, jax.device_get(hamming_top2(q, t, v)))
+            dist = hamming_distance_matrix(unpack_bits(q), unpack_bits(t))
+            i_x, d1_x, d2_x = map(np.asarray, jax.device_get(knn2_match(dist, v)))
+            bits = words * 32
+            real1, real2 = d1_x <= bits, d2_x <= bits  # sentinels differ by design
+            if not (
+                np.array_equal(i_p[real1], i_x[real1])
+                and np.array_equal(d1_p[real1], d1_x[real1])
+                and np.array_equal(d2_p[real2], d2_x[real2])
+            ):
+                return f"FAIL hamming_top2 words={words}"
+        # FAST-9 + NMS: compiled kernel vs XLA path on a synthetic image.
+        img = jnp.asarray(rng.random((480, 640), np.float32) * 64.0)
+        raw_p, sup_p = jax.device_get(fast_scores_nms(img))
+        raw_x = np.asarray(jax.device_get(fast_scores(img)))
+        interior = np.zeros((480, 640), bool)
+        interior[4:-4, 4:-4] = True  # kernel zero-pads the halo; XLA edge-pads
+        if not np.allclose(np.asarray(raw_p)[interior], raw_x[interior], atol=1e-4):
+            return "FAIL fast_scores_nms raw map"
+        # NMS parity via the composed detector on the same image.
+        import os
+
+        kx = jax.device_get(fast_detect(img, 12.0, max_keypoints=256, border=19))
+        os.environ["VSF_ENABLE_PALLAS"] = "fast"
+        try:
+            fast_detect.clear_cache()
+            kp = jax.device_get(fast_detect(img, 12.0, max_keypoints=256, border=19))
+        finally:
+            del os.environ["VSF_ENABLE_PALLAS"]
+            fast_detect.clear_cache()
+        vx, vp = np.asarray(kx[2]), np.asarray(kp[2])
+        sx = {tuple(r) for r in np.asarray(kx[0])[vx].round(3).tolist()}
+        sp = {tuple(r) for r in np.asarray(kp[0])[vp].round(3).tolist()}
+        inter = len(sx & sp) / max(len(sx | sp), 1)
+        if inter < 0.95:  # approx_max_k recall makes exact set equality too strict
+            return f"FAIL fast_detect keypoint agreement {inter:.3f}"
+        return "ok (hamming_top2 words=8,16; fast kernel)"
+    except Exception as e:  # pragma: no cover - report, don't kill the artifact
+        return f"ERROR {type(e).__name__}: {e}"
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["step", "frontend"], default="step")
@@ -173,15 +242,20 @@ def main() -> None:
     ap.add_argument("--unique-frames", type=int, default=12)
     ap.add_argument("--mfu", action="store_true")
     ap.add_argument("--family", default="orb", help="descriptor family (orb, brisk)")
+    ap.add_argument("--no-pallas-parity", action="store_true",
+                    help="skip the on-chip Pallas parity pin")
     args = ap.parse_args()
 
     if args.mode == "frontend":
-        r = bench_frontend(args.k, args.window, args.unique_frames)
+        r = bench_frontend(args.k, args.window, args.unique_frames,
+                           num_levels=args.levels, family=args.family)
         metric = "stereo_frontend_end_to_end_fps_per_chip"
     else:
         r = bench_step(args.k, args.window, args.unique_frames, mfu=args.mfu,
                        num_levels=args.levels, family=args.family)
         metric = "stereo_frontend_fps_per_chip"
+    if not args.no_pallas_parity:
+        r["pallas_parity"] = pallas_parity_check()
     fps = r.pop("fps")
     print(
         json.dumps(

@@ -9,10 +9,10 @@ from vision_slam_frontend_tpu.ops.pallas_kernels import hamming_top2
 
 
 class TestHammingTop2:
-    def _check(self, kq, kt, seed, invalid_frac=0.0):
+    def _check(self, kq, kt, seed, invalid_frac=0.0, words=8):
         rng = np.random.default_rng(seed)
-        q = jnp.asarray(rng.integers(0, 2**32, (kq, 8), dtype=np.uint32))
-        t = jnp.asarray(rng.integers(0, 2**32, (kt, 8), dtype=np.uint32))
+        q = jnp.asarray(rng.integers(0, 2**32, (kq, words), dtype=np.uint32))
+        t = jnp.asarray(rng.integers(0, 2**32, (kt, words), dtype=np.uint32))
         vt = jnp.asarray(rng.random(kt) >= invalid_frac)
         idx_p, d1_p, d2_p = hamming_top2(q, t, vt, interpret=True)
         dist = hamming_distance_matrix(unpack_bits(q), unpack_bits(t))
@@ -31,6 +31,13 @@ class TestHammingTop2:
 
     def test_with_invalid_train(self):
         self._check(256, 256, 2, invalid_frac=0.3)
+
+    def test_words16_brisk_width(self):
+        # 512-bit BRISK-class descriptors: 16 packed words per row.
+        self._check(256, 128, 4, words=16)
+
+    def test_words16_with_invalid(self):
+        self._check(256, 256, 5, invalid_frac=0.3, words=16)
 
     def test_all_invalid_train(self):
         rng = np.random.default_rng(3)

@@ -49,7 +49,7 @@ def _use_pallas(*dims, site: str = "", words: int = 8) -> bool:
     flag = os.environ.get("VSF_ENABLE_PALLAS", "")
     if not (flag == "1" or (site and site in flag.split(","))):
         return False
-    if words != 8:  # the Mosaic kernel is written for 256-bit (K, 8) operands
+    if words not in (8, 16):  # Mosaic kernel handles 256/512-bit descriptors
         return False
     try:
         if jax.default_backend() != "tpu":
@@ -219,7 +219,10 @@ def ratio_test_match(
         else:
             dist = hamming_distance_matrix(bq, bt)
             best_idx, d1, d2 = knn2_match(dist, valid_t)
-    matched = valid_q & (d1 < ratio * d2) & (d1 < 300.0)  # 256 max real distance
+    # Accept only real distances: any true Hamming distance is <= bit width
+    # (words * 32), so this cut rejects exactly the no-valid-train sentinel.
+    # Width-derived so 512-bit BRISK matches with d in (256, 512] survive.
+    matched = valid_q & (d1 < ratio * d2) & (d1 <= float(desc_q.shape[1] * 32))
     return (
         jnp.where(matched, best_idx, 0),
         jnp.where(matched, d1, _LARGE),
@@ -322,7 +325,11 @@ def match_window(
         else:
             dist = hamming_distance_matrix(bq.reshape(W * K, -1), bt).reshape(W, K, K)
             best_idx, d1, d2 = jax.vmap(lambda d: knn2_match(d, valid_curr))(dist)
-    matched = valid_window & (d1 < ratio * d2) & (d1 < 300.0)
+    matched = (
+        valid_window
+        & (d1 < ratio * d2)
+        & (d1 <= float(desc_curr.shape[1] * 32))  # width-derived sentinel cut
+    )
     d1m = jnp.where(matched, d1, _LARGE)
     keep = jax.vmap(lambda d, m: best_percent_mask(d, m, best_percent))(d1m, matched)
     return (

@@ -33,7 +33,10 @@ _BIG = 1 << 20  # python int: pallas kernels cannot capture traced constants
 TT = 128  # train tile
 
 
-def _hamming_top2_kernel(q_ref, t_ref, tvalid_ref, d1_ref, d2_ref, idx_ref, *, kt: int, tq: int):
+def _hamming_top2_kernel(
+    q_ref, t_ref, tvalid_ref, d1_ref, d2_ref, idx_ref,
+    *, kt: int, tq: int, words: int,
+):
     """One query block vs the full train set; running top-2 merge over train tiles."""
     d1 = jnp.full((tq,), _BIG, jnp.int32)
     d2 = jnp.full((tq,), _BIG, jnp.int32)
@@ -44,7 +47,7 @@ def _hamming_top2_kernel(q_ref, t_ref, tvalid_ref, d1_ref, d2_ref, idx_ref, *, k
     for jt in range(kt // TT):
         # Distance block (TQ, TT): XOR + popcount per packed word, summed.
         d = jnp.zeros((tq, TT), jnp.int32)
-        for w in range(8):
+        for w in range(words):
             qw = q_ref[:, w]  # (TQ,) uint32
             tw = t_ref[jt * TT : (jt + 1) * TT, w]  # (TT,)
             x = qw[:, None] ^ tw[None, :]
@@ -77,24 +80,27 @@ def hamming_top2(desc_q: jnp.ndarray, desc_t: jnp.ndarray, valid_t: jnp.ndarray,
     """Fused kNN(k=2) Hamming search over packed descriptors.
 
     Args:
-      desc_q: (Kq, 8) uint32; Kq must be a multiple of 128.
-      desc_t: (Kt, 8) uint32; Kt must be a multiple of 128.
+      desc_q: (Kq, words) uint32; Kq must be a multiple of 128. words is 8
+        for 256-bit ORB-class, 16 for 512-bit BRISK-class descriptors.
+      desc_t: (Kt, words) uint32; Kt must be a multiple of 128.
       valid_t: (Kt,) bool.
 
     Returns (best_idx (Kq,) int32, d1 (Kq,) f32, d2 (Kq,) f32).
     """
     kq, kt = desc_q.shape[0], desc_t.shape[0]
+    words = desc_q.shape[1]
+    assert desc_t.shape[1] == words, (desc_q.shape, desc_t.shape)
     assert kq % 128 == 0 and kt % TT == 0, (kq, kt)
     # Queries per program: largest 128-multiple <= 1024 that divides kq.
     tq = next(c for c in range(min(kq, 1024), 0, -128) if kq % c == 0)
     rows = tq // 128
     grid = (kq // tq,)
     d1, d2, idx = pl.pallas_call(
-        functools.partial(_hamming_top2_kernel, kt=kt, tq=tq),
+        functools.partial(_hamming_top2_kernel, kt=kt, tq=tq, words=words),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tq, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kt, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, words), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, words), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((kt,), lambda i: (0,), memory_space=pltpu.VMEM),
         ],
         out_specs=[
