@@ -69,6 +69,7 @@ def registered_families() -> list[str]:
 
 
 def _register_builtins() -> None:
+    from vision_slam_frontend_tpu.ops.akaze import detect_and_describe_akaze
     from vision_slam_frontend_tpu.ops.brief import detect_and_describe
     from vision_slam_frontend_tpu.ops.brisk import detect_and_describe_brisk
 
@@ -80,6 +81,12 @@ def _register_builtins() -> None:
     # in 16 words (reference BRISK option: src/slam_frontend.cc:216-220).
     register_family(
         "brisk", detect_and_describe_brisk, distance="hamming", words=16
+    )
+    # AKAZE family — the reference's DEFAULT extractor
+    # (src/slam_frontend.cc:193-202): nonlinear-diffusion scale space,
+    # Hessian-determinant detection, MLDB-style 486-bit descriptor (16 words).
+    register_family(
+        "akaze", detect_and_describe_akaze, distance="hamming", words=16
     )
 
 

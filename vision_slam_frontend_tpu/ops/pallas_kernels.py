@@ -37,22 +37,25 @@ def _hamming_top2_kernel(
     q_ref, t_ref, tvalid_ref, d1_ref, d2_ref, idx_ref,
     *, kt: int, tq: int, words: int,
 ):
-    """One query block vs the full train set; running top-2 merge over train tiles."""
-    d1 = jnp.full((tq,), _BIG, jnp.int32)
-    d2 = jnp.full((tq,), _BIG, jnp.int32)
-    idx1 = jnp.zeros((tq,), jnp.int32)
+    """One query block vs the full train set; running top-2 merge over train tiles.
 
+    The train-tile loop is a ROLLED fori_loop: a Python-unrolled loop makes
+    Mosaic stack-allocate every tile's temporaries simultaneously, which blows
+    the 16 MB scoped-VMEM limit at Kt >= 2048 (measured: 26.5 MB requested at
+    Kt=2048, tq=1024). Rolled, the working set is one (tq, TT) tile
+    regardless of Kt."""
     col = jax.lax.broadcasted_iota(jnp.int32, (tq, TT), 1)
+    q = q_ref[:, :]  # (tq, words), loaded once
 
-    for jt in range(kt // TT):
+    def tile_body(jt, carry):
+        d1, d2, idx1 = carry
+        tb = t_ref[pl.ds(jt * TT, TT), :]  # (TT, words)
         # Distance block (TQ, TT): XOR + popcount per packed word, summed.
         d = jnp.zeros((tq, TT), jnp.int32)
         for w in range(words):
-            qw = q_ref[:, w]  # (TQ,) uint32
-            tw = t_ref[jt * TT : (jt + 1) * TT, w]  # (TT,)
-            x = qw[:, None] ^ tw[None, :]
+            x = q[:, w][:, None] ^ tb[:, w][None, :]
             d = d + jax.lax.population_count(x).astype(jnp.int32)
-        tv = tvalid_ref[jt * TT : (jt + 1) * TT]  # (TT,) int32
+        tv = tvalid_ref[pl.ds(jt * TT, TT)]  # (TT,) int32
         d = jnp.where(tv[None, :] > 0, d, _BIG)
 
         # Tile-local top-2 along the train axis. No argmin: Mosaic's
@@ -68,7 +71,14 @@ def _hamming_top2_kernel(
         new_idx1 = jnp.where(tmin1 < d1, amin1 + jt * TT, idx1)
         new_d2 = jnp.minimum(jnp.maximum(d1, tmin1), jnp.minimum(d2, tmin2))
         new_d1 = jnp.minimum(d1, tmin1)
-        d1, d2, idx1 = new_d1, new_d2, new_idx1
+        return new_d1, new_d2, new_idx1
+
+    init = (
+        jnp.full((tq,), _BIG, jnp.int32),
+        jnp.full((tq,), _BIG, jnp.int32),
+        jnp.zeros((tq,), jnp.int32),
+    )
+    d1, d2, idx1 = jax.lax.fori_loop(0, kt // TT, tile_body, init)
 
     d1_ref[:, :] = d1.reshape(tq // 128, 128)
     d2_ref[:, :] = d2.reshape(tq // 128, 128)

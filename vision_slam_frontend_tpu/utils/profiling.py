@@ -144,6 +144,43 @@ def profile_keyframe_stages(
         "triangulate": lambda: tri(lu, ru),
     }
 
+    # --- fine-grained sub-stages: where inside detect/match does the time go
+    # at high K (the roofline question — VERDICT round 2 item 1). Each is the
+    # exact op the fused step runs, timed on the same data.
+    from vision_slam_frontend_tpu.ops.brief import unpack_bits
+    from vision_slam_frontend_tpu.ops.fast import fast_scores
+    from vision_slam_frontend_tpu.ops.hamming import best_percent_mask
+
+    scores_fn = jax.jit(lambda im: fast_scores(im.astype(jnp.float32)))
+    smap = scores_fn(left)
+
+    def topk_fn(s):
+        flat = s.reshape(-1)
+        if jax.default_backend() == "tpu":
+            return jax.lax.approx_max_k(flat, K, recall_target=0.95)
+        return jax.lax.top_k(flat, K)
+
+    topk = jax.jit(topk_fn)
+    wd_raw = window(state.desc, state.valid, l_desc, l_valid)[1]
+    wm_raw = window(state.desc, state.valid, l_desc, l_valid)[2]
+    bp = jax.jit(
+        jax.vmap(lambda d, m: best_percent_mask(d, m, params.best_percent))
+    )
+    part = jax.jit(lambda keep: jnp.argsort(jnp.where(keep, 0, 1), stable=True))
+    unpack_w = jax.jit(jax.vmap(unpack_bits))
+    gather_rows = jax.jit(lambda buf, perm: buf[perm])
+
+    stages.update(
+        {
+            "  detect: fast_scores": lambda: scores_fn(left),
+            "  detect: top_k": lambda: topk(smap)[0],
+            "  match: unpack_window": lambda: unpack_w(state.desc),
+            "  match: best_percent": lambda: bp(wd_raw, wm_raw),
+            "  step: stable_partition": lambda: part(s_matched),
+            "  step: gather_compact": lambda: gather_rows(l_desc, jnp.flip(jnp.arange(K))),
+        }
+    )
+
     out = {}
     for name, fn in stages.items():
         sync(fn())  # compile
