@@ -183,16 +183,21 @@ def pallas_parity_check():
         from vision_slam_frontend_tpu.ops.fast import fast_detect, fast_scores
         from vision_slam_frontend_tpu.ops.pallas_kernels import (
             fast_scores_nms,
-            hamming_top2,
+            hamming_top2_mxu,
         )
 
         rng = np.random.default_rng(0)
-        # Hamming kNN(2): both descriptor widths (ORB 8 words, BRISK 16).
+        # Hamming kNN(2) MXU kernel (the production dispatch at Kt >= 2048):
+        # both descriptor widths (ORB 8 words, BRISK 16), at a shape in the
+        # auto-dispatch regime.
         for words in (8, 16):
-            q = jnp.asarray(rng.integers(0, 2**32, size=(512, words), dtype=np.uint32))
-            t = jnp.asarray(rng.integers(0, 2**32, size=(512, words), dtype=np.uint32))
-            v = jnp.asarray(rng.random(512) > 0.1)
-            i_p, d1_p, d2_p = map(np.asarray, jax.device_get(hamming_top2(q, t, v)))
+            kq, kt = 2048, 2048
+            q = jnp.asarray(rng.integers(0, 2**32, size=(kq, words), dtype=np.uint32))
+            t = jnp.asarray(rng.integers(0, 2**32, size=(kt, words), dtype=np.uint32))
+            v = jnp.asarray(rng.random(kt) > 0.1)
+            i_p, d1_p, d2_p = map(
+                np.asarray, jax.device_get(hamming_top2_mxu(q, t, v))
+            )
             dist = hamming_distance_matrix(unpack_bits(q), unpack_bits(t))
             i_x, d1_x, d2_x = map(np.asarray, jax.device_get(knn2_match(dist, v)))
             bits = words * 32
@@ -202,7 +207,7 @@ def pallas_parity_check():
                 and np.array_equal(d1_p[real1], d1_x[real1])
                 and np.array_equal(d2_p[real2], d2_x[real2])
             ):
-                return f"FAIL hamming_top2 words={words}"
+                return f"FAIL hamming_top2_mxu words={words}"
         # FAST-9 + NMS: compiled kernel vs XLA path on a synthetic image.
         img = jnp.asarray(rng.random((480, 640), np.float32) * 64.0)
         raw_p, sup_p = jax.device_get(fast_scores_nms(img))
@@ -228,7 +233,7 @@ def pallas_parity_check():
         inter = len(sx & sp) / max(len(sx | sp), 1)
         if inter < 0.95:  # approx_max_k recall makes exact set equality too strict
             return f"FAIL fast_detect keypoint agreement {inter:.3f}"
-        return "ok (hamming_top2 words=8,16; fast kernel)"
+        return "ok (hamming_top2_mxu words=8,16 @ Kt=2048; fast kernel)"
     except Exception as e:  # pragma: no cover - report, don't kill the artifact
         return f"ERROR {type(e).__name__}: {e}"
 

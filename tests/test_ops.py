@@ -228,6 +228,70 @@ class TestBriefMethods:
         dist = np.sum(bg[v] != bm[v], axis=-1)
         assert dist.max() <= 2, f"gather/mxu bit disagreement up to {dist.max()}"
 
+    def test_fused_orient_and_describe_matches_composition(self):
+        """orient_and_describe (one 2-channel patch extraction + the
+        quadrant-factored fine-bin matmul) must reproduce the separate
+        compute_orientations + brief_describe(mxu) composition exactly —
+        all four 90-degree quadrants exercised."""
+        from vision_slam_frontend_tpu.ops.brief import orient_and_describe
+
+        rng = np.random.RandomState(3)
+        # Random texture: orientations land in every quadrant.
+        img = rng.uniform(0, 255, size=(240, 320)).astype(np.float32)
+        img = np.asarray(gaussian_blur(jnp.asarray(img), 1.0))
+        kps = jnp.asarray(
+            np.stack(
+                [
+                    rng.uniform(20, 300, size=96),
+                    rng.uniform(20, 220, size=96),
+                ],
+                axis=-1,
+            ).astype(np.float32)
+        )
+        valid = jnp.asarray(rng.rand(96) > 0.1)
+        blurred = gaussian_blur(jnp.asarray(img), 2.0)
+        theta_f, desc_f = orient_and_describe(jnp.asarray(img), blurred, kps, valid)
+        theta_s = compute_orientations(jnp.asarray(img), kps, valid)
+        desc_s = brief_describe(blurred, kps, theta_s, valid, method="mxu")
+        np.testing.assert_allclose(
+            np.asarray(theta_f), np.asarray(theta_s), atol=1e-5
+        )
+        from vision_slam_frontend_tpu.ops.brief import quantize_angle
+
+        quads = np.asarray(quantize_angle(theta_s)) // 8
+        assert set(quads[np.asarray(valid)].tolist()) == {0, 1, 2, 3}
+        bf = np.asarray(unpack_bits(desc_f))
+        bs = np.asarray(unpack_bits(desc_s))
+        v = np.asarray(valid)
+        dist = np.sum(bf[v] != bs[v], axis=-1)
+        assert dist.max() <= 2, f"fused/split bit disagreement up to {dist.max()}"
+
+    def test_quadrant_factored_equals_allbins(self):
+        """_describe_bits_mxu (8 fine bins + 90deg patch rotation) must be
+        bit-identical to evaluating the full 32-bin pattern table directly
+        (the pre-round-3 formulation), for every bin."""
+        from vision_slam_frontend_tpu.ops.brief import (
+            _ROT_A,
+            _ROT_B,
+            _describe_bits_mxu,
+            PATCH_AREA,
+        )
+
+        rng = np.random.RandomState(0)
+        K = 64
+        patches = jnp.asarray(rng.uniform(0, 255, size=(K, PATCH_AREA)).astype(np.float32))
+        bins = jnp.asarray(rng.randint(0, 32, size=K).astype(np.int32))
+        got = np.asarray(_describe_bits_mxu(patches, bins))
+        # Direct all-bins evaluation in f64 (exact) as the oracle.
+        pn = np.asarray(patches, np.float64)
+        a = _ROT_A[np.asarray(bins)]  # (K, 256)
+        b = _ROT_B[np.asarray(bins)]
+        va = np.take_along_axis(pn, a, axis=1)
+        vb = np.take_along_axis(pn, b, axis=1)
+        want = (va - vb < 0).astype(np.uint32)
+        mismatches = (got != want).sum(axis=1)
+        assert mismatches.max() <= 2, f"quadrant factoring broke bits: {mismatches.max()}"
+
     def test_quantize_angle(self):
         from vision_slam_frontend_tpu.ops.brief import NUM_BINS, quantize_angle
 
@@ -262,7 +326,7 @@ class TestDescriptorRegistry:
         from vision_slam_frontend_tpu.ops.descriptors import get_family
 
         with pytest.raises(ValueError, match="registered.*orb"):
-            get_family("akaze")
+            get_family("freak")
 
     def test_config_validates_family(self):
         import pytest

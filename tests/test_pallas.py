@@ -39,6 +39,35 @@ class TestHammingTop2:
     def test_words16_with_invalid(self):
         self._check(256, 256, 5, invalid_frac=0.3, words=16)
 
+    def test_mxu_kernel_parity(self):
+        """hamming_top2_mxu (+-1 bf16 matmul tiles, fused top-2) must agree
+        with the XLA path exactly for valid trains, both widths."""
+        from vision_slam_frontend_tpu.ops.pallas_kernels import hamming_top2_mxu
+
+        for kq, kt, words, frac, seed in (
+            (256, 512, 8, 0.0, 0),
+            (2048, 1024, 8, 0.3, 1),
+            (256, 512, 16, 0.2, 2),
+        ):
+            rng = np.random.default_rng(seed)
+            q = jnp.asarray(rng.integers(0, 2**32, (kq, words), dtype=np.uint32))
+            t = jnp.asarray(rng.integers(0, 2**32, (kt, words), dtype=np.uint32))
+            vt = jnp.asarray(rng.random(kt) >= frac)
+            idx_p, d1_p, d2_p = hamming_top2_mxu(q, t, vt, interpret=True)
+            dist = hamming_distance_matrix(unpack_bits(q), unpack_bits(t))
+            idx_x, d1_x, d2_x = knn2_match(dist, vt)
+            real1 = np.asarray(d1_x) < 1e8
+            np.testing.assert_array_equal(
+                np.asarray(idx_p)[real1], np.asarray(idx_x)[real1]
+            )
+            np.testing.assert_array_equal(
+                np.asarray(d1_p)[real1], np.asarray(d1_x)[real1]
+            )
+            real2 = np.asarray(d2_x) < 1e8
+            np.testing.assert_array_equal(
+                np.asarray(d2_p)[real2], np.asarray(d2_x)[real2]
+            )
+
     def test_all_invalid_train(self):
         rng = np.random.default_rng(3)
         q = jnp.asarray(rng.integers(0, 2**32, (128, 8), dtype=np.uint32))

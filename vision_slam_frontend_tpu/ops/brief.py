@@ -87,6 +87,15 @@ _ROT_B = (
     + (_ROT_PATTERNS[:, :, 1, 0] + PATCH_RADIUS)
 ).astype(np.int32)
 
+# Quadrant factoring of the rotation bins: bin b = 90deg*(b // NUM_FINE) +
+# fine angle of bin (b % NUM_FINE). A 90deg rotation maps the integer patch
+# grid onto itself EXACTLY, so rint(R(90c + f) p) == R(90c) rint(R(f) p) and
+# rotating the PATCH by the 90deg permutation + matching against only the
+# NUM_FINE fine-bin patterns produces bit-identical descriptors with 4x less
+# MXU work and a 4x smaller (K, bins, 256) intermediate (the win at K >= 2048,
+# where the all-bins matmul dominated the describe stage: BASELINE.md round 3).
+NUM_FINE = NUM_BINS // 4  # 8
+
 
 def quantize_angle(theta: jnp.ndarray) -> jnp.ndarray:
     """Angle (radians) -> rotation bin in [0, NUM_BINS)."""
@@ -107,22 +116,40 @@ _MOMENT_WX, _MOMENT_WY = _moment_weights()
 
 
 def extract_patches(image: jnp.ndarray, keypoints: jnp.ndarray) -> jnp.ndarray:
-    """(K, 961) flat 31x31 patches centered at round(keypoint).
+    """Flat 31x31 patches centered at round(keypoint).
 
     vmapped dynamic_slice — XLA lowers it to one gather of row-contiguous
     slabs, far friendlier to HBM than per-sample scattered gathers
     (CLAUDE.md perf rule: small-row gathers are transaction-bound).
     dynamic_slice clamps starts, so out-of-range (invalid/padded) keypoints
     are safe.
+
+    Accepts (H, W) -> (K, 961) or multichannel (H, W, C) -> (K, 961, C).
+    Stacking the channels a stage needs (e.g. unblurred for orientation +
+    blurred for BRIEF) and extracting ONCE doubles the bytes per HBM
+    transaction of this gather — the patch gather is transaction-bound, so
+    that is ~2x cheaper than two single-channel extractions (measured at
+    K=8192: BASELINE.md round 3).
     """
     kx = jnp.round(keypoints[:, 0]).astype(jnp.int32) - PATCH_RADIUS
     ky = jnp.round(keypoints[:, 1]).astype(jnp.int32) - PATCH_RADIUS
+    K = keypoints.shape[0]
+
+    if image.ndim == 3:
+        C = image.shape[-1]
+
+        def one3(sy, sx):
+            return jax.lax.dynamic_slice(
+                image, (sy, sx, 0), (PATCH_SIZE, PATCH_SIZE, C)
+            )
+
+        return jax.vmap(one3)(ky, kx).reshape(K, PATCH_AREA, C)
 
     def one(sy, sx):
         return jax.lax.dynamic_slice(image, (sy, sx), (PATCH_SIZE, PATCH_SIZE))
 
     patches = jax.vmap(one)(ky, kx)  # (K, 31, 31)
-    return patches.reshape(keypoints.shape[0], PATCH_AREA)
+    return patches.reshape(K, PATCH_AREA)
 
 
 @jax.jit
@@ -241,27 +268,86 @@ def brief_describe(
         bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)  # (K, 256)
     else:
         patches = extract_patches(image_blurred, keypoints)  # (K, 961)
-        # Selection matrix built on device from the small index constants:
-        # column (b, s) has +1 at flat index A[b, s], -1 at B[b, s]; the
-        # matmul then computes v_a - v_b for every bin at once.
-        a = jnp.asarray(_ROT_A.reshape(-1))  # (NUM_BINS*256,)
-        b = jnp.asarray(_ROT_B.reshape(-1))
-        pix = jnp.arange(PATCH_AREA, dtype=jnp.int32)[:, None]
-        D = (pix == a[None, :]).astype(jnp.bfloat16) - (pix == b[None, :]).astype(
-            jnp.bfloat16
-        )  # (961, NUM_BINS*256)
-        # Hi/lo bf16 split: bf16 would round patch values by up to ~0.5
-        # intensity units and flip near-tie bits vs the gather path; two
-        # matmuls with f32 accumulation recover ~16-bit input precision, so
-        # both methods produce identical bits (2x MXU work, still ~0.1 ms).
-        hi = patches.astype(jnp.bfloat16)
-        lo = (patches - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        dot = lambda x: jax.lax.dot(x, D, preferred_element_type=jnp.float32)
-        diff = (dot(hi) + dot(lo)).reshape(-1, NUM_BINS, NUM_BITS)
-        mine = jnp.take_along_axis(diff, bins[:, None, None], axis=1)[:, 0, :]
-        bits = (mine < 0).astype(jnp.uint32)  # (K, 256)
+        bits = _describe_bits_mxu(patches, bins)
     packed = pack_bits(bits)
     return jnp.where(valid[:, None], packed, jnp.uint32(0))
+
+
+def _rotate_patches_90(patches: jnp.ndarray, quad: jnp.ndarray) -> jnp.ndarray:
+    """Rotate each flat patch by quad * 90 degrees (exact grid permutation).
+
+    patch'(o) = patch(R(90*quad) o): pure flips/transposes + a 3-way select,
+    all VPU work — no gathers, no matmuls.
+    """
+    K = patches.shape[0]
+    p = patches.reshape(K, PATCH_SIZE, PATCH_SIZE)
+    p1 = jnp.flip(p, axis=2).transpose(0, 2, 1)  # P1[i,j] = P[j, S-1-i]
+    p2 = jnp.flip(p, axis=(1, 2))  # P2[i,j] = P[S-1-i, S-1-j]
+    p3 = jnp.flip(p.transpose(0, 2, 1), axis=2)  # P3[i,j] = P[S-1-j, i]
+    q = quad[:, None, None]
+    sel = jnp.where(q == 1, p1, p)
+    sel = jnp.where(q == 2, p2, sel)
+    sel = jnp.where(q == 3, p3, sel)
+    return sel.reshape(K, PATCH_AREA)
+
+
+def _describe_bits_mxu(patches: jnp.ndarray, bins: jnp.ndarray) -> jnp.ndarray:
+    """Steered-BRIEF bits from flat patches via the quadrant-factored one-hot
+    matmul: rotate the patch by the bin's 90deg quadrant (exact permutation),
+    then evaluate only the NUM_FINE fine-rotation patterns as one
+    (K, 961) x (961, NUM_FINE*256) bf16 matmul. Bit-identical to the all-bins
+    formulation (see the NUM_FINE comment above) at 1/4 the MXU work."""
+    quad = bins // NUM_FINE
+    fine = bins % NUM_FINE
+    prot = _rotate_patches_90(patches, quad)
+    # Selection matrix built on device from the small index constants:
+    # column (f, s) has +1 at flat index A[f, s], -1 at B[f, s]; the
+    # matmul then computes v_a - v_b for every fine bin at once.
+    a = jnp.asarray(_ROT_A[:NUM_FINE].reshape(-1))  # (NUM_FINE*256,)
+    b = jnp.asarray(_ROT_B[:NUM_FINE].reshape(-1))
+    pix = jnp.arange(PATCH_AREA, dtype=jnp.int32)[:, None]
+    D = (pix == a[None, :]).astype(jnp.bfloat16) - (pix == b[None, :]).astype(
+        jnp.bfloat16
+    )  # (961, NUM_FINE*256)
+    # Hi/lo bf16 split: bf16 would round patch values by up to ~0.5
+    # intensity units and flip near-tie bits vs the gather path; two
+    # matmuls with f32 accumulation recover ~16-bit input precision, so
+    # both methods produce identical bits (2x MXU work, still ~0.1 ms).
+    hi = prot.astype(jnp.bfloat16)
+    lo = (prot - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dot = lambda x: jax.lax.dot(x, D, preferred_element_type=jnp.float32)
+    diff = (dot(hi) + dot(lo)).reshape(-1, NUM_FINE, NUM_BITS)
+    mine = jnp.take_along_axis(diff, fine[:, None, None], axis=1)[:, 0, :]
+    return (mine < 0).astype(jnp.uint32)  # (K, 256)
+
+
+@jax.jit
+def orient_and_describe(
+    image: jnp.ndarray,
+    image_blurred: jnp.ndarray,
+    keypoints: jnp.ndarray,
+    valid: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused orientation + steered BRIEF with ONE patch extraction.
+
+    compute_orientations reads the unblurred image and brief_describe the
+    blurred one; run separately each pays its own transaction-bound 31x31
+    slab gather (the dominant cost of the describe stage at K >= 2048).
+    Stacking both as channels and extracting once halves that traffic; the
+    outputs are bit-identical to the two-call composition (mxu method).
+
+    Returns (orientations (K,) f32, descriptors (K, 8) uint32).
+    """
+    stacked = jnp.stack(
+        [image.astype(jnp.float32), image_blurred.astype(jnp.float32)], axis=-1
+    )
+    patches2 = extract_patches(stacked, keypoints)  # (K, 961, 2)
+    w = jnp.stack([jnp.asarray(_MOMENT_WX), jnp.asarray(_MOMENT_WY)], axis=1)
+    m = jax.lax.dot(patches2[..., 0], w, preferred_element_type=jnp.float32)
+    theta = jnp.where(valid, jnp.arctan2(m[:, 1], m[:, 0]), 0.0)
+    bits = _describe_bits_mxu(patches2[..., 1], quantize_angle(theta))
+    packed = pack_bits(bits)
+    return theta, jnp.where(valid[:, None], packed, jnp.uint32(0))
 
 
 @partial(
@@ -297,13 +383,18 @@ def detect_and_describe(
     image = image.astype(jnp.float32)
     H, W = image.shape
 
+    fused = jax.default_backend() == "tpu"  # gather method wins on CPU
+
     if num_levels <= 1:
         keypoints, scores, valid = fast_detect(
             image, threshold=threshold, max_keypoints=max_keypoints, border=border, nms=nms
         )
-        orientations = compute_orientations(image, keypoints, valid)
         blurred = gaussian_blur(image, sigma=blur_sigma)
-        descriptors = brief_describe(blurred, keypoints, orientations, valid)
+        if fused:
+            _, descriptors = orient_and_describe(image, blurred, keypoints, valid)
+        else:
+            orientations = compute_orientations(image, keypoints, valid)
+            descriptors = brief_describe(blurred, keypoints, orientations, valid)
         return keypoints, scores, descriptors, valid
 
     budget = max_keypoints // num_levels
@@ -321,9 +412,12 @@ def detect_and_describe(
             level_img, threshold=threshold, max_keypoints=budgets[lvl],
             border=border, nms=nms,
         )
-        orientations = compute_orientations(level_img, kps, valid)
         blurred = gaussian_blur(level_img, sigma=blur_sigma)
-        desc = brief_describe(blurred, kps, orientations, valid)
+        if fused:
+            _, desc = orient_and_describe(level_img, blurred, kps, valid)
+        else:
+            orientations = compute_orientations(level_img, kps, valid)
+            desc = brief_describe(blurred, kps, orientations, valid)
         kps_all.append(kps * scale)  # back to level-0 pixel coords
         scores_all.append(scores)
         desc_all.append(desc)

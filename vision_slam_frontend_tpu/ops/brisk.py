@@ -35,7 +35,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from vision_slam_frontend_tpu.ops.brief import pack_bits, quantize_angle, NUM_BINS
+from vision_slam_frontend_tpu.ops.brief import (
+    NUM_BINS,
+    NUM_FINE,
+    pack_bits,
+    quantize_angle,
+)
 
 # --- Pattern geometry (fixed constants of the framework) -------------------
 # 5 rings: (radius px, #points, smoothing sigma). 60 points total, radii and
@@ -160,17 +165,22 @@ def _extract_multiscale_patches(image: jnp.ndarray, keypoints: jnp.ndarray) -> j
     K = keypoints.shape[0]
     kx = jnp.round(keypoints[:, 0]).astype(jnp.int32) - PATCH_RADIUS
     ky = jnp.round(keypoints[:, 1]).astype(jnp.int32) - PATCH_RADIUS
+    S = len(RINGS)
 
-    def slab(img):
-        def one(sy, sx):
-            return jax.lax.dynamic_slice(img, (sy, sx), (PATCH_SIZE, PATCH_SIZE))
+    # ONE slab gather over the channel-stacked blur pyramid instead of S
+    # separate gathers: the gather is transaction-bound, so packing all S
+    # planes into each 27-row slice multiplies the bytes per transaction by S
+    # (same trick as brief.orient_and_describe; measured win: BASELINE.md
+    # round 3).
+    sigmas = {sig: gaussian_blur(image, sigma=sig) for sig in {s for _, _, s in RINGS}}
+    stacked = jnp.stack([sigmas[RINGS[s][2]] for s in range(S)], axis=-1)  # (H, W, S)
 
-        return jax.vmap(one)(ky, kx).reshape(K, PATCH_AREA)
+    def one(sy, sx):
+        return jax.lax.dynamic_slice(stacked, (sy, sx, 0), (PATCH_SIZE, PATCH_SIZE, S))
 
-    sigmas = sorted({sig for _, _, sig in RINGS})
-    blurred = {sig: gaussian_blur(image, sigma=sig) for sig in sigmas}
-    planes = [slab(blurred[RINGS[s][2]]) for s in range(len(RINGS))]
-    return jnp.concatenate(planes, axis=1)  # (K, S*729)
+    patches = jax.vmap(one)(ky, kx)  # (K, 27, 27, S)
+    # Flat layout must stay plane-major: s * PATCH_AREA + row * 27 + col.
+    return patches.transpose(0, 3, 1, 2).reshape(K, S * PATCH_AREA)
 
 
 @jax.jit
@@ -199,16 +209,33 @@ def brisk_describe(
     theta = jnp.where(valid, theta, 0.0)
     bins = quantize_angle(theta)  # (K,)
 
-    # All bins' rotated samples as ONE one-hot matmul on the MXU (hi/lo bf16
-    # split for exact f32 sample values — same trick as brief_describe).
-    sel = jnp.asarray(_ROT_IDX.reshape(-1))  # (BINS*60,)
+    # Quadrant-factored rotated sampling (same derivation as ops/brief.py
+    # NUM_FINE): rotate each scale plane of the patch by the bin's 90-degree
+    # quadrant — an exact grid permutation, so
+    # rint(R(90c + f) p) == R(90c) rint(R(f) p) and the bits are identical to
+    # the all-bins formulation — then one one-hot matmul over only the
+    # NUM_FINE fine bins (4x less MXU work + 4x smaller intermediate).
+    quad = bins // NUM_FINE
+    fine = bins % NUM_FINE
+    S = len(RINGS)
+    p = patches.reshape(K, S, PATCH_SIZE, PATCH_SIZE)
+    p1 = jnp.flip(p, axis=3).transpose(0, 1, 3, 2)  # P1[i,j] = P[j, n-1-i]
+    p2 = jnp.flip(p, axis=(2, 3))
+    p3 = jnp.flip(p.transpose(0, 1, 3, 2), axis=3)  # P3[i,j] = P[n-1-j, i]
+    qd = quad[:, None, None, None]
+    selp = jnp.where(qd == 1, p1, p)
+    selp = jnp.where(qd == 2, p2, selp)
+    selp = jnp.where(qd == 3, p3, selp)
+    prot = selp.reshape(K, F)
+
+    sel = jnp.asarray(_ROT_IDX[:NUM_FINE].reshape(-1))  # (NUM_FINE*60,)
     pix = jnp.arange(F, dtype=jnp.int32)[:, None]
-    D = (pix == sel[None, :]).astype(jnp.bfloat16)  # (F, BINS*60)
-    hi = patches.astype(jnp.bfloat16)
-    lo = (patches - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    D = (pix == sel[None, :]).astype(jnp.bfloat16)  # (F, NUM_FINE*60)
+    hi = prot.astype(jnp.bfloat16)
+    lo = (prot - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     dot = lambda x: jax.lax.dot(x, D, preferred_element_type=jnp.float32)
-    vals = (dot(hi) + dot(lo)).reshape(K, NUM_BINS, NUM_POINTS)
-    mine = jnp.take_along_axis(vals, bins[:, None, None], axis=1)[:, 0, :]  # (K, 60)
+    vals = (dot(hi) + dot(lo)).reshape(K, NUM_FINE, NUM_POINTS)
+    mine = jnp.take_along_axis(vals, fine[:, None, None], axis=1)[:, 0, :]  # (K, 60)
 
     a = jnp.asarray(_SHORT_PAIRS[:, 0])
     b = jnp.asarray(_SHORT_PAIRS[:, 1])

@@ -31,32 +31,48 @@ from vision_slam_frontend_tpu.ops.brief import unpack_bits
 _LARGE = 1e9
 
 
-def _use_pallas(*dims, site: str = "", words: int = 8) -> bool:
-    """Select the fused Pallas hamming kernel for this call site.
+# Below this train-set size the XLA formulation (materialized distance
+# matrix, min/argmin top-2) is at or past parity with the fused Pallas
+# kernel; at and above it the kernel wins big by keeping distance tiles in
+# VMEM. Measured crossover on v5e round 3 (BASELINE.md "Pallas vs XLA"):
+# window (81920 x 8192): 7.8 ms Pallas vs 27.2 ms XLA streamed (3.5x);
+# (20480 x 2048): 4.2 vs 4.9 ms; at Kt <= 1024 both are dispatch-floor-bound.
+_MXU_KERNEL_MIN_KT = 2048
 
-    Opt-in via VSF_ENABLE_PALLAS=1 (or a comma list of sites: "stereo",
-    "window"), TPU backend + 128-aligned shapes required. Measured status on
-    TPU v5e (round 2): the Pallas kernel wins standalone (0.85 vs 0.97 ms at
-    5120x512 — no HBM materialization of the distance matrix); composed in
-    the full jitted keyframe step it is at parity with the MXU matmul
-    formulation (110.5 vs 105-108 fps at K=512, within tunnel noise — the
-    round-1 ~2x composed regression disappeared once lax.top_k left the
-    matching path). The MXU formulation stays the default; both paths are
-    parity-tested against each other. Numbers: BASELINE.md "Pallas vs XLA".
+
+def _use_pallas(kq: int, kt: int, site: str = "", words: int = 8) -> bool:
+    """Dispatch to the fused Pallas MXU kNN(2) kernel for this call site?
+
+    Default policy ("auto"): on TPU backends, use the kernel when the train
+    set is large enough that XLA's materialized/streamed distance passes
+    become HBM-bound (Kt >= _MXU_KERNEL_MIN_KT, the measured crossover) and
+    the shapes meet the kernel's alignment contract. Overrides:
+      VSF_ENABLE_PALLAS=1 (or a comma list with this site name) forces the
+        kernel at every size; VSF_ENABLE_PALLAS=0 forces pure XLA.
+    The retired XOR-popcount kernel (hamming_top2) is no longer dispatched:
+    it loses to this MXU formulation standalone and its Mosaic compile fails
+    at Kt >= 2048 on the current toolchain (BASELINE.md round 3).
     """
     import os
 
-    flag = os.environ.get("VSF_ENABLE_PALLAS", "")
-    if not (flag == "1" or (site and site in flag.split(","))):
-        return False
-    if words not in (8, 16):  # Mosaic kernel handles 256/512-bit descriptors
+    flag = os.environ.get("VSF_ENABLE_PALLAS", "auto")
+    if flag in ("0", "off"):
         return False
     try:
         if jax.default_backend() != "tpu":
             return False
     except Exception:
         return False
-    return all(d % 128 == 0 for d in dims)
+    # Kernel alignment contract (ops/pallas_kernels.hamming_top2_mxu).
+    aligned = (
+        kt % 512 == 0
+        and (kq % 1024 == 0 or (kq <= 1024 and kq % 128 == 0))
+    )
+    if not aligned:
+        return False
+    if flag == "1" or (site and site in flag.split(",")):
+        return True
+    return kt >= _MXU_KERNEL_MIN_KT
 
 
 def hamming_distance_matrix(
@@ -207,9 +223,9 @@ def ratio_test_match(
     if _use_pallas(
         desc_q.shape[0], desc_t.shape[0], site="stereo", words=desc_q.shape[1]
     ):
-        from vision_slam_frontend_tpu.ops.pallas_kernels import hamming_top2
+        from vision_slam_frontend_tpu.ops.pallas_kernels import hamming_top2_mxu
 
-        best_idx, d1, d2 = hamming_top2(desc_q, desc_t, valid_t)
+        best_idx, d1, d2 = hamming_top2_mxu(desc_q, desc_t, valid_t)
     else:
         bq = unpack_bits(desc_q)
         bt = unpack_bits(desc_t)
@@ -299,11 +315,11 @@ def match_window(
     if _use_pallas(
         W * K, desc_curr.shape[0], site="window", words=desc_curr.shape[1]
     ):
-        from vision_slam_frontend_tpu.ops.pallas_kernels import hamming_top2
+        from vision_slam_frontend_tpu.ops.pallas_kernels import hamming_top2_mxu
 
         # All W past frames share the current train set: flatten to one
         # (W*K)-query kernel launch.
-        idx_f, d1_f, d2_f = hamming_top2(
+        idx_f, d1_f, d2_f = hamming_top2_mxu(
             desc_window.reshape(W * K, -1), desc_curr, valid_curr
         )
         best_idx = idx_f.reshape(W, K)

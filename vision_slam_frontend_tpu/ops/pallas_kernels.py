@@ -132,6 +132,128 @@ def hamming_top2(desc_q: jnp.ndarray, desc_t: jnp.ndarray, valid_t: jnp.ndarray,
     )
 
 
+# ---------------------------------------------------------------------------
+# MXU-based fused kNN(2): bf16 +-1 matmul tiles + in-VMEM top-2 merge
+# ---------------------------------------------------------------------------
+
+MXU_TT = 512  # train tile (columns of the distance block per MXU matmul)
+
+
+def _hamming_top2_mxu_kernel(
+    q_ref, t_ref, pen_ref, d1_ref, d2_ref, idx_ref, *, kt: int, tq: int, nbits: int
+):
+    """One query block vs the full train set, distances via the MXU.
+
+    Descriptor bits arrive as +-1 bf16 rows, so
+        dot(q, t^T) = #agree - #disagree = nbits - 2 * hamming
+    and a single bf16 matmul per (tq, MXU_TT) tile yields the distance block
+    in f32 exactly (products are +-1: f32 accumulation is integer-exact).
+    The top-2 running merge happens in VMEM — the (Kq, Kt) matrix never
+    touches HBM. This is the same arithmetic the XLA path feeds the MXU, but
+    XLA materializes each streamed (Kq, block) distance tile to HBM and
+    re-reads it for the argmin/min passes (~10 GB of traffic at K=8192, W=10);
+    here the tile dies in VMEM.
+
+    pen_ref: (1, kt) f32 additive penalty row (0 valid / 1e9 invalid).
+    """
+    col = jax.lax.broadcasted_iota(jnp.int32, (tq, MXU_TT), 1)
+    q = q_ref[:, :]  # (tq, nbits) bf16 +-1
+
+    def tile_body(jt, carry):
+        d1, d2, idx1 = carry
+        tb = t_ref[pl.ds(jt * MXU_TT, MXU_TT), :]  # (MXU_TT, nbits) bf16
+        dot = jax.lax.dot_general(
+            q, tb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (tq, MXU_TT)
+        d = 0.5 * (float(nbits) - dot) + pen_ref[0, pl.ds(jt * MXU_TT, MXU_TT)][None, :]
+
+        tmin1 = jnp.min(d, axis=1)
+        amin1 = jnp.min(jnp.where(d == tmin1[:, None], col, _BIG), axis=1)
+        dm = jnp.where(col == amin1[:, None], jnp.float32(3e9), d)
+        tmin2 = jnp.min(dm, axis=1)
+
+        new_idx1 = jnp.where(tmin1 < d1, amin1 + jt * MXU_TT, idx1)
+        new_d2 = jnp.minimum(jnp.maximum(d1, tmin1), jnp.minimum(d2, tmin2))
+        new_d1 = jnp.minimum(d1, tmin1)
+        return new_d1, new_d2, new_idx1
+
+    init = (
+        jnp.full((tq,), 3e9, jnp.float32),
+        jnp.full((tq,), 3e9, jnp.float32),
+        jnp.zeros((tq,), jnp.int32),
+    )
+    d1, d2, idx1 = jax.lax.fori_loop(0, kt // MXU_TT, tile_body, init)
+
+    d1_ref[:, :] = d1.reshape(tq // 128, 128)
+    d2_ref[:, :] = d2.reshape(tq // 128, 128)
+    idx_ref[:, :] = idx1.reshape(tq // 128, 128)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def hamming_top2_mxu(
+    desc_q: jnp.ndarray,
+    desc_t: jnp.ndarray,
+    valid_t: jnp.ndarray,
+    interpret: bool = False,
+):
+    """Fused kNN(2) Hamming search with MXU matmul tiles (see kernel above).
+
+    Args:
+      desc_q: (Kq, words) uint32 packed; Kq % 128 == 0.
+      desc_t: (Kt, words) uint32 packed; Kt % 512 == 0.
+      valid_t: (Kt,) bool.
+
+    Returns (best_idx (Kq,) int32, d1 (Kq,) f32, d2 (Kq,) f32) — identical to
+    the XLA knn2_match/_knn2_match_streamed results for valid trains
+    (sentinel values for all-invalid rows differ: ~3e9 here vs 1e9 there).
+    """
+    from vision_slam_frontend_tpu.ops.brief import unpack_bits
+
+    kq, kt = desc_q.shape[0], desc_t.shape[0]
+    words = desc_q.shape[1]
+    nbits = words * 32
+    assert desc_t.shape[1] == words, (desc_q.shape, desc_t.shape)
+    assert kq % 128 == 0 and kt % MXU_TT == 0, (kq, kt)
+    # +-1 encoding: s = 1 - 2b.
+    sq = (1.0 - 2.0 * unpack_bits(desc_q, dtype=jnp.float32)).astype(jnp.bfloat16)
+    st = (1.0 - 2.0 * unpack_bits(desc_t, dtype=jnp.float32)).astype(jnp.bfloat16)
+    pen = jnp.where(valid_t, 0.0, 1e9).astype(jnp.float32).reshape(1, kt)
+
+    # Output blocks are (tq//128, 128): Mosaic requires the sublane dim of a
+    # PARTIAL block to divide by 8, so tq must be a 1024-multiple unless one
+    # program covers all queries (full-array blocks are exempt).
+    if kq % 1024 == 0:
+        tq = 1024
+    else:
+        tq = next(c for c in range(min(kq, 1024), 0, -128) if kq % c == 0)
+        assert kq // tq == 1, (
+            f"Kq={kq} must be a multiple of 1024 (or <= 1024 and a multiple of 128)"
+        )
+    rows = tq // 128
+    grid = (kq // tq,)
+    d1, d2, idx = pl.pallas_call(
+        functools.partial(_hamming_top2_mxu_kernel, kt=kt, tq=tq, nbits=nbits),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tq, nbits), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, nbits), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kt), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((kq // 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((kq // 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((kq // 128, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(sq, st, pen)
+    return idx.reshape(kq), d1.reshape(kq), d2.reshape(kq)
+
+
 def hamming_top2_available() -> bool:
     """Pallas path is selected on TPU backends only."""
     try:
