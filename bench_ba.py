@@ -41,7 +41,10 @@ def make_problem(P, L, obs_per_lm, seed=0):
     # no real trajectory has — it inflated the pose-major padded capacity Mp
     # from ~1100 to 6488 and made every solver look 5x slower than the
     # realistic balanced workload this benchmark is meant to represent.
-    base_pose = np.clip((lm[:, 2] / 0.5).astype(np.int64), 0, P - 1)
+    # Wraparound here too (not clip): landmarks with z beyond the trajectory
+    # end otherwise pile onto pose P-1 (at L=500k that inflated Mp from ~5.5k
+    # to 21.7k — a 4x padded-memory blowup no real trajectory has).
+    base_pose = (lm[:, 2] / 0.5).astype(np.int64) % P
     obs_lm = np.repeat(np.arange(L), obs_per_lm)
     obs_pose = ((base_pose[obs_lm] - rng.integers(1, 12, N)) % P).astype(np.int32)
     rel = lm[obs_lm] - gt_t[obs_pose]
@@ -97,6 +100,7 @@ def _bench_config(P, L, obs_per_lm, solver, cg_iters, n_iters=10, with_mfu=False
         _linearize,
         _solve_schur_dense,
         _solve_schur_pcg,
+        _solve_schur_pcg_posemajor_chunked,
     )
     from vision_slam_frontend_tpu.backend.residuals import CameraParams
 
@@ -147,6 +151,10 @@ def _bench_config(P, L, obs_per_lm, solver, cg_iters, n_iters=10, with_mfu=False
             d_pose, d_lm, res = _solve_schur_dense(
                 r, Jp, Jl, ro, Ji, Jj, p, lam, True
             )
+        elif solver == "pcg_chunked":
+            d_pose, d_lm, res = _solve_schur_pcg_posemajor_chunked(
+                r, Jp, Jl, ro, Ji, Jj, p, lam, cg_iters, True
+            )
         else:
             d_pose, d_lm, res = _solve_schur_pcg(
                 r, Jp, Jl, ro, Ji, Jj, p, lam, cg_iters, True
@@ -167,11 +175,11 @@ def _bench_config(P, L, obs_per_lm, solver, cg_iters, n_iters=10, with_mfu=False
     dt = time.perf_counter() - t0
     out = {
         "P": P, "L": L, "N": L * obs_per_lm,
-        "solver": solver if solver == "dense" else f"pcg{cg_iters}",
+        "solver": solver if solver == "dense" else f"{solver}{cg_iters}",
         "iters_per_sec": round(n_iters / dt, 3),
         "sec_per_iter": round(dt / n_iters, 4),
     }
-    if with_mfu:
+    if with_mfu and solver != "pcg_chunked":  # chunked is not one program
         try:
             compiled = jax.jit(one_iter).lower(problem).compile()
             flops = compiled.cost_analysis()["flops"]
@@ -193,7 +201,7 @@ def main() -> None:
     ap.add_argument("--poses", type=int, default=500)
     ap.add_argument("--cg-iters", type=int, default=32)
     ap.add_argument(
-        "--solver", choices=["dense", "pcg", "segments"], default="dense",
+        "--solver", choices=["dense", "pcg", "pcg_chunked", "segments"], default="dense",
         help="inner reduced-camera solver (dense Cholesky is the fast path "
         "at this pose count; pcg is the matrix-free/distributed form; "
         "segments is the pose-chain-sharded two-level solver)",

@@ -255,17 +255,74 @@ class TestDenseSchur:
             np.asarray(dl_d), np.asarray(dl_p), atol=8e-2 * lscale
         )
 
-    def test_dense_and_pcg_reach_same_optimum(self):
-        cam, problem, gt_t, _ = synthetic_ba(
+    def test_chunked_pcg_matches_fused_step(self):
+        """The multi-program pose-major PCG (the N>=2.5M compile-ceiling
+        escape, backend/ba._solve_schur_pcg_posemajor_chunked) must produce
+        the same step as the fused single-program form — identical math,
+        different program partitioning."""
+        import jax.numpy as jnp
+
+        from vision_slam_frontend_tpu.backend.ba import (
+            _linearize,
+            _solve_schur_pcg,
+            _solve_schur_pcg_posemajor_chunked,
+        )
+
+        cam, problem, _, _ = synthetic_ba(
+            P=7, L=90, pose_noise=0.04, lm_noise=0.25, px_noise=0.2, seed=5
+        )
+        hd, wt, wr = jnp.float32(4.0), jnp.float32(30.0), jnp.float32(60.0)
+        lam = jnp.float32(1e-3)
+        r, Jp, Jl, ro, Ji, Jj = _linearize(cam, problem, hd, wt, wr, True)
+        fused = _solve_schur_pcg(r, Jp, Jl, ro, Ji, Jj, problem, lam, 24, True)
+        chunked = _solve_schur_pcg_posemajor_chunked(
+            r, Jp, Jl, ro, Ji, Jj, problem, lam, 24, True
+        )
+        for f, c in zip(fused, chunked):
+            np.testing.assert_allclose(
+                np.asarray(f), np.asarray(c), rtol=2e-5, atol=2e-6
+            )
+
+    def test_chunked_pcg_optimize_dispatch(self):
+        """optimize() with schur_solver='pcg_chunked' (and with the obs-count
+        auto-threshold) runs end-to-end and reaches the PCG optimum."""
+        cam, problem, _, _ = synthetic_ba(
             P=8, L=100, pose_noise=0.05, lm_noise=0.3, px_noise=0.3, seed=6
         )
-        opt_d, info_d = optimize(
+        opt_c, info_c = optimize(
             problem, cam=cam,
-            solver=BASolverConfig(max_iterations=10, schur_solver="dense"),
+            solver=BASolverConfig(max_iterations=10, schur_solver="pcg_chunked",
+                                  cg_iterations=128),
         )
         opt_p, info_p = optimize(
             problem, cam=cam,
             solver=BASolverConfig(max_iterations=10, schur_solver="pcg",
+                                  cg_iterations=128),
+        )
+        assert abs(info_c["cost"] - info_p["cost"]) / max(info_p["cost"], 1e-9) < 1e-3
+        # Auto-dispatch path: force the threshold below N to exercise it.
+        opt_a, info_a = optimize(
+            problem, cam=cam,
+            solver=BASolverConfig(max_iterations=3, cg_iterations=32,
+                                  schur_solver="pcg", chunked_obs_threshold=1),
+        )
+        assert np.isfinite(info_a["cost"])
+
+    def test_dense_and_pcg_reach_same_optimum(self):
+        cam, problem, gt_t, _ = synthetic_ba(
+            P=8, L=100, pose_noise=0.05, lm_noise=0.3, px_noise=0.3, seed=6
+        )
+        # 25 iterations: enough for BOTH solvers to actually plateau (with 10,
+        # the comparison measures LM-trajectory luck — a 1-ulp change in CG
+        # rounding moved the 10-iteration cost by ~7% while the converged
+        # optima agree to <0.2%).
+        opt_d, info_d = optimize(
+            problem, cam=cam,
+            solver=BASolverConfig(max_iterations=25, schur_solver="dense"),
+        )
+        opt_p, info_p = optimize(
+            problem, cam=cam,
+            solver=BASolverConfig(max_iterations=25, schur_solver="pcg",
                                   cg_iterations=128),
         )
         assert abs(info_d["cost"] - info_p["cost"]) / max(info_p["cost"], 1e-9) < 0.05

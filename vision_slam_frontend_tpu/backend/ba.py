@@ -54,9 +54,16 @@ class BASolverConfig:
     #   "auto"  — dense Cholesky when 6P fits comfortably (P <= dense_max_poses
     #             and gather tables present), matrix-free PCG otherwise;
     #   "dense" — always materialize S (exact, MXU-heavy; see _solve_schur_dense);
-    #   "pcg"   — always matrix-free PCG (the distributed/sharded form).
+    #   "pcg"   — always matrix-free PCG (the distributed/sharded form);
+    #   "pcg_chunked" — PCG split into several small programs with a host CG
+    #             loop (same math; the only form that compiles at N >= ~2.5M
+    #             observations on this toolchain — BASELINE.md).
     schur_solver: str = "auto"
     dense_max_poses: int = 1024
+    # Above this observation count, "auto"/"pcg" switch to the chunked
+    # multi-program PCG (the fused single program exceeds the remote compile
+    # helper's capacity; see _solve_schur_pcg_posemajor_chunked).
+    chunked_obs_threshold: int = 2_000_000
     # Sanitizer mode: validate each solver step host-side before applying it
     # (utils/checks.check_ba_step) — catches non-finite updates at the
     # iteration that produced them instead of as a rejected cost later.
@@ -253,18 +260,17 @@ def _run_pcg(b, S_apply, M_apply, cg_iters):
     return x, rr
 
 
-def _solve_schur_pcg_posemajor(
-    r, Jp, Jl, ro, Ji, Jj, problem: BAProblem, lm_damping, cg_iters: int, fix_first: bool,
-):
-    """Pose-major Schur-PCG: the TPU-fast formulation.
+def _pm_build(r, Jp, Jl, ro, Ji, Jj, problem: BAProblem, lm_damping, fix_first: bool):
+    """Pose-major relayout + every one-time product of a Schur-PCG step.
 
-    Per-observation tensors are re-laid-out ONCE per linearization into
-    (P, Mp, ...) pose blocks (problem.pose_obs is the host-built plan). Then:
-      - every pose-side product is a dense einsum + axis-sum (no gathers);
-      - landmark reductions gather rows of the pose-major flat space via
-        problem.lm_obs (L, Ml) — the only gathers left in the CG loop,
-        ~3x less traffic than the flat formulation, and the reason this path
-        is ~10x faster than scatter segment-sums on TPU.
+    Shared by the fused single-program path (_solve_schur_pcg_posemajor,
+    traced into its caller's jit) and the chunked multi-program path
+    (_solve_schur_pcg_posemajor_chunked, where this compiles standalone so no
+    single program exceeds what the remote compile helper can digest at
+    N >= ~2.5M observations).
+
+    Returns (state, b, g_lm): `state` is the pytree dict the CG step and
+    back-substitution consume.
     """
     P = problem.poses_t.shape[0]
     L = problem.landmarks.shape[0]
@@ -289,50 +295,157 @@ def _solve_schur_pcg_posemajor(
     V = lm_reduce(VV).reshape(L, 3, 3) + lm_damping * jnp.eye(3)[None]
     V_inv = _sym3_inv(V)
 
+    # --- Gauge as a free-pose mask (multiplicative form of ".at[0].set(0)").
+    fixed = jnp.zeros((P,), bool)
+    if fix_first:
+        fixed = fixed.at[0].set(True)
+    if problem.pose_fixed is not None:
+        fixed = fixed | problem.pose_fixed
+    free = (~fixed).astype(r.dtype)
+
     # --- Gradients.
-    g_odom, U_odom, odom_apply = _odom_terms(problem, Ji, Jj, ro, P)
+    g_odom, U_odom, _ = _odom_terms(problem, Ji, Jj, ro, P)
     g_pose = -jnp.einsum("pmij,pmi->pj", Jp_pm, r_pm) + g_odom
     g_lm = -lm_reduce(jnp.einsum("pmij,pmi->pmj", Jl_pm, r_pm))
-
-    def gauge(x):
-        if fix_first:
-            x = x.at[0].set(0.0)
-        if problem.pose_fixed is not None:
-            x = jnp.where(problem.pose_fixed[:, None], 0.0, x)
-        return x
 
     # --- Reduced RHS.
     s = jnp.einsum("ljk,lk->lj", V_inv, g_lm)  # (L, 3)
     s_pm = s[ol_pm] * pm_mask  # (P, Mp, 3)
     Jls = jnp.einsum("pmij,pmj->pmi", Jl_pm, s_pm)
-    b = gauge(g_pose - jnp.einsum("pmij,pmi->pj", Jp_pm, Jls))
+    b = (g_pose - jnp.einsum("pmij,pmi->pj", Jp_pm, Jls)) * free[:, None]
 
     # --- Preconditioner.
     U_diag = jnp.einsum("pmij,pmik->pjk", Jp_pm, Jp_pm) + U_odom
     U_diag += lm_damping * jnp.eye(6)[None]
     M_inv = jnp.linalg.inv(U_diag)
 
-    def S_apply(x):
-        x = gauge(x)
-        y = jnp.einsum("pmij,pj->pmi", Jp_pm, x)  # (P, Mp, 2), gather-free
-        u = jnp.einsum("pmij,pmi->pj", Jp_pm, y) + odom_apply(x) + lm_damping * x
-        t = lm_reduce(jnp.einsum("pmij,pmi->pmj", Jl_pm, y))  # (L, 3)
-        st = jnp.einsum("ljk,lk->lj", V_inv, t)
-        st_pm = st[ol_pm] * pm_mask  # (P, Mp, 3)
-        z2 = jnp.einsum("pmij,pmj->pmi", Jl_pm, st_pm)
-        z = jnp.einsum("pmij,pmi->pj", Jp_pm, z2)
-        return gauge(u - z)
+    state = {
+        "Jp_pm": Jp_pm, "Jl_pm": Jl_pm, "ol_pm": ol_pm, "pm_mask": pm_mask,
+        "lm_tbl": lm_tbl, "lm_mask": lm_mask, "V_inv": V_inv, "M_inv": M_inv,
+        "Ji": Ji, "Jj": Jj, "odom_i": problem.odom_i, "odom_j": problem.odom_j,
+        "free": free, "lam": lm_damping,
+    }
+    return state, b, g_lm
 
-    def M_apply(x):
-        return gauge(jnp.einsum("pij,pj->pi", M_inv, x))
 
-    d_pose, rr = _run_pcg(b, S_apply, M_apply, cg_iters)
+def _pm_lm_reduce(state, x_pm):
+    """(P, Mp, D) -> (L, D): the pose-major-to-landmark gather + masked sum."""
+    P, Mp = state["ol_pm"].shape
+    flat = x_pm.reshape(P * Mp, x_pm.shape[-1])
+    return jnp.sum(flat[state["lm_tbl"]] * state["lm_mask"], axis=1)
 
-    # --- Back-substitution.
-    y = jnp.einsum("pmij,pj->pmi", Jp_pm, d_pose)
-    wtd = lm_reduce(jnp.einsum("pmij,pmi->pmj", Jl_pm, y))
-    d_lm = jnp.einsum("ljk,lk->lj", V_inv, g_lm - wtd)
+
+def _pm_sapply(state, x):
+    """Apply the reduced camera system S = U + lam*I - W V^{-1} W^T."""
+    free = state["free"]
+    Jp_pm, Jl_pm = state["Jp_pm"], state["Jl_pm"]
+    x = x * free[:, None]
+    y = jnp.einsum("pmij,pj->pmi", Jp_pm, x)  # (P, Mp, 2), gather-free
+    u = jnp.einsum("pmij,pmi->pj", Jp_pm, y) + state["lam"] * x
+    # Odometry coupling.
+    P = x.shape[0]
+    yo = jnp.einsum("qij,qj->qi", state["Ji"], x[state["odom_i"]]) + jnp.einsum(
+        "qij,qj->qi", state["Jj"], x[state["odom_j"]]
+    )
+    u += _segsum(jnp.einsum("qij,qi->qj", state["Ji"], yo), state["odom_i"], P)
+    u += _segsum(jnp.einsum("qij,qi->qj", state["Jj"], yo), state["odom_j"], P)
+    # Coupling through the eliminated landmarks.
+    t = _pm_lm_reduce(state, jnp.einsum("pmij,pmi->pmj", Jl_pm, y))  # (L, 3)
+    st = jnp.einsum("ljk,lk->lj", state["V_inv"], t)
+    st_pm = st[state["ol_pm"]] * state["pm_mask"]  # (P, Mp, 3)
+    z2 = jnp.einsum("pmij,pmj->pmi", Jl_pm, st_pm)
+    z = jnp.einsum("pmij,pmi->pj", Jp_pm, z2)
+    return (u - z) * free[:, None]
+
+
+def _pm_mapply(state, x):
+    return jnp.einsum("pij,pj->pi", state["M_inv"], x) * state["free"][:, None]
+
+
+def _pm_backsub(state, g_lm, d_pose):
+    """Landmark back-substitution: d_lm = V^{-1}(g_lm - W^T d_pose)."""
+    y = jnp.einsum("pmij,pj->pmi", state["Jp_pm"], d_pose)
+    wtd = _pm_lm_reduce(state, jnp.einsum("pmij,pmi->pmj", state["Jl_pm"], y))
+    return jnp.einsum("ljk,lk->lj", state["V_inv"], g_lm - wtd)
+
+
+def _solve_schur_pcg_posemajor(
+    r, Jp, Jl, ro, Ji, Jj, problem: BAProblem, lm_damping, cg_iters: int, fix_first: bool,
+):
+    """Pose-major Schur-PCG: the TPU-fast formulation (one fused program).
+
+    Per-observation tensors are re-laid-out ONCE per linearization into
+    (P, Mp, ...) pose blocks (problem.pose_obs is the host-built plan). Then:
+      - every pose-side product is a dense einsum + axis-sum (no gathers);
+      - landmark reductions gather rows of the pose-major flat space via
+        problem.lm_obs (L, Ml) — the only gathers left in the CG loop,
+        ~3x less traffic than the flat formulation, and the reason this path
+        is ~10x faster than scatter segment-sums on TPU.
+    """
+    state, b, g_lm = _pm_build(r, Jp, Jl, ro, Ji, Jj, problem, lm_damping, fix_first)
+    d_pose, rr = _run_pcg(
+        b,
+        lambda x: _pm_sapply(state, x),
+        lambda x: _pm_mapply(state, x),
+        cg_iters,
+    )
+    d_lm = _pm_backsub(state, g_lm, d_pose)
     return d_pose, d_lm, jnp.linalg.norm(rr)
+
+
+# --- Chunked multi-program variant: same math, split at natural boundaries
+# so each compiled program stays small. At N >= ~2.5M observations the fused
+# single-program form above dies in this environment's remote compile helper
+# (BASELINE.md "toolchain ceiling"); prepare / cg-step / backsub compile and
+# run fine individually. Host-side CG costs ~cg_iters dispatches (~3 ms each
+# through the tunnel) — noise against S_apply's cost at that scale.
+
+_pm_build_jit = jax.jit(_pm_build, static_argnames=("fix_first",))
+
+
+@jax.jit
+def _pm_cg_init(state, b):
+    z0 = _pm_mapply(state, b)
+    return jnp.zeros_like(b), b, z0, z0, jnp.sum(b * z0)
+
+
+@jax.jit
+def _pm_cg_step(state, carry):
+    x, rr, z, p, rz = carry
+    Sp = _pm_sapply(state, p)
+    denom = jnp.sum(p * Sp)
+    alpha = jnp.where(jnp.abs(denom) > 1e-20, rz / denom, 0.0)
+    x = x + alpha * p
+    rr2 = rr - alpha * Sp
+    z2 = _pm_mapply(state, rr2)
+    rz2 = jnp.sum(rr2 * z2)
+    beta = jnp.where(jnp.abs(rz) > 1e-20, rz2 / rz, 0.0)
+    p2 = z2 + beta * p
+    return x, rr2, z2, p2, rz2
+
+
+@jax.jit
+def _pm_finish(state, g_lm, carry):
+    x, rr = carry[0], carry[1]
+    return x, _pm_backsub(state, g_lm, x), jnp.linalg.norm(rr)
+
+
+def _solve_schur_pcg_posemajor_chunked(
+    r, Jp, Jl, ro, Ji, Jj, problem: BAProblem, lm_damping, cg_iters: int, fix_first: bool,
+):
+    """Pose-major Schur-PCG as several small programs + a host CG loop.
+
+    Bit-identical math to _solve_schur_pcg_posemajor (both call _pm_build /
+    _pm_sapply / _pm_backsub); only the program partitioning differs. This is
+    the path that breaks the N=2.5M compile ceiling.
+    """
+    state, b, g_lm = _pm_build_jit(
+        r, Jp, Jl, ro, Ji, Jj, problem, lm_damping, fix_first
+    )
+    carry = _pm_cg_init(state, b)
+    for _ in range(cg_iters):
+        carry = _pm_cg_step(state, carry)
+    return _pm_finish(state, g_lm, carry)
 
 
 def _chol3(V):
@@ -815,12 +928,21 @@ def _optimize_round(
     )
     if solver.schur_solver == "dense" and not use_dense and verbose:
         print("[BA] no gather tables (sharded problem?): dense -> PCG fallback")
+    use_chunked = problem.pose_obs is not None and not use_dense and (
+        solver.schur_solver == "pcg_chunked"
+        or problem.obs_pose.shape[0] >= solver.chunked_obs_threshold
+    )
     for it in range(start_iter, solver.max_iterations):
         r, Jp, Jl, ro, Ji, Jj = _linearize(cam, problem, hd, wt, wr, huber_on)
         if use_dense:
             d_pose, d_lm, cg_res = _solve_schur_dense(
                 r, Jp, Jl, ro, Ji, Jj, problem,
                 jnp.float32(lam), solver.fix_first_pose,
+            )
+        elif use_chunked:
+            d_pose, d_lm, cg_res = _solve_schur_pcg_posemajor_chunked(
+                r, Jp, Jl, ro, Ji, Jj, problem,
+                jnp.float32(lam), solver.cg_iterations, solver.fix_first_pose,
             )
         else:
             d_pose, d_lm, cg_res = _solve_schur_pcg(
