@@ -84,6 +84,65 @@ class TestLiveViz:
         export_html(path, make_problem())
         assert "http-equiv" not in open(path).read()
 
+    def test_incremental_viewer_appends_deltas(self, tmp_path):
+        """IncrementalLiveViewer (the O(delta) live page): header once, one
+        <script>A({...})</script> chunk per update, no pipeline flush, debug
+        image embedded."""
+        import os
+
+        from vision_slam_frontend_tpu.frontend import Frontend, FrontendConfig
+        from vision_slam_frontend_tpu.io.synthetic import (
+            SyntheticRig,
+            generate_sequence,
+        )
+        from vision_slam_frontend_tpu.viz.live import (
+            DebugImageStreamer,
+            IncrementalLiveViewer,
+        )
+
+        rig = SyntheticRig()
+        config = FrontendConfig(
+            calib=rig.calib(), max_features=128, frame_life=4,
+            fast_threshold=12.0, debug_images=True,
+        )
+        frontend = Frontend(config)
+        frontend.debug_sink = DebugImageStreamer(str(tmp_path / "dbg"))
+        path = str(tmp_path / "live.html")
+        viewer = IncrementalLiveViewer(path, refresh_seconds=1.5)
+        header_size = os.path.getsize(path)
+        assert '<meta http-equiv="refresh" content="1.5">' in open(path).read()
+
+        sizes = [header_size]
+        for f in generate_sequence(num_frames=6, step=0.25, rig=rig):
+            frontend.observe_odometry(
+                f.odom_translation, f.odom_rotation, f.timestamp
+            )
+            if frontend.observe_image(f.left, f.right, f.timestamp):
+                viewer.update(frontend)
+                # The viewer must NOT flush the one-deep result pipeline.
+                assert frontend._pending is not None
+                sizes.append(os.path.getsize(path))
+        problem = frontend.get_slam_problem()
+        viewer.update(frontend, force=True)
+        html = open(path).read()
+        # One A(...) chunk per non-empty update; every node accounted for.
+        chunks = re.findall(r"<script>A\((\{.*?\})\)</script>", html)
+        assert chunks, "no delta chunks appended"
+        total_nodes = sum(len(json.loads(c)["nodes"]) for c in chunks)
+        assert total_nodes == len(problem.nodes)
+        total_oe = sum(len(json.loads(c)["oe"]) for c in chunks)
+        assert total_oe == len(problem.odometry_factors)
+        # O(delta) writes: later appends must not grow with problem size —
+        # each per-keyframe append stays within ~2.5x of the typical one.
+        # (The FIRST update appends nothing: the accumulator trails the
+        # device by one keyframe.)
+        deltas = np.diff(sizes)
+        nonzero = deltas[deltas > 0]
+        if len(nonzero) >= 3:
+            assert deltas[-1] < 2.5 * np.median(nonzero)
+        # The newest debug image rides along for the live page.
+        assert any("dbg" in json.loads(c) for c in chunks)
+
     def test_debug_streamer_keeps_memory_flat(self, tmp_path):
         """With a debug sink installed, the frontend streams images to disk
         per keyframe and buffers NOTHING (the round-1 behavior kept every raw

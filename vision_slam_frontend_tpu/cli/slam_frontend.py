@@ -243,9 +243,9 @@ def main(argv=None) -> int:
     base = _os.path.splitext(args.output)[0]
     viewer = None
     if args.visualize:
-        from vision_slam_frontend_tpu.viz.live import LiveViewer
+        from vision_slam_frontend_tpu.viz.live import IncrementalLiveViewer
 
-        viewer = LiveViewer(
+        viewer = IncrementalLiveViewer(
             base + "_live.html", config.left_cam_to_robot,
             every=args.visualize_every,
         )
@@ -305,8 +305,10 @@ def main(argv=None) -> int:
             if added and viewer is not None:
                 # Per-keyframe live publishing (the reference's
                 # PublishVisualization after every new pose,
-                # src/slam_frontend_main.cc:319-327).
-                viewer.update(frontend.get_slam_problem())
+                # src/slam_frontend_main.cc:319-327). Reads the materialized
+                # accumulator (one keyframe behind) — no pipeline flush, and
+                # the append is O(delta), not O(problem).
+                viewer.update(frontend)
             if added and args.local_ba > 0 and n_poses >= 4:
                 from vision_slam_frontend_tpu.backend.local_ba import windowed_local_ba
 
@@ -378,7 +380,9 @@ def main(argv=None) -> int:
             f"debug images to {sink.directory}/"
         )
     if viewer is not None:
-        viewer.update(problem, force=True)
+        # Final flush: `problem` above already flushed the pipeline, so the
+        # accumulator is complete — append the last keyframe's delta.
+        viewer.update(frontend, force=True)
         print(f"Live viewer final state: {viewer.path} ({viewer.last_stats})")
     return 0
 

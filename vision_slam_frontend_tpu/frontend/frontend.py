@@ -406,6 +406,16 @@ class Frontend:
     # Output API
     # ------------------------------------------------------------------
 
+    def peek_accumulated(self):
+        """Already-materialized problem content WITHOUT flushing the result
+        pipeline: (nodes, vision_factors, odometry_factors) lists, trailing
+        the device by at most one keyframe (the pending pipeline slot).
+
+        The live-viewer seam: per-keyframe publishing reads deltas from here
+        so the device->host fetch stays off the critical path (get_slam_problem
+        flushes, which stalls the one-deep pipeline every call)."""
+        return self._nodes, self._vision_factors, self._odometry_factors
+
     def get_slam_problem(self) -> SLAMProblem:
         """(reference: src/slam_frontend.cc:498-503 GetSLAMProblem)"""
         self._flush_pending()

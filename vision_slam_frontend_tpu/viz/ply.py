@@ -54,27 +54,32 @@ def _write_ply(path: str, points: np.ndarray, colors: np.ndarray, edges: np.ndar
             f.write(erec.astype("<i4").tobytes())
 
 
+def node_landmarks_world(node, left_cam_to_robot: np.ndarray) -> np.ndarray:
+    """One node's world-frame landmark points with the reference's display
+    filter (z > 0.1, 0.5 < ||p|| < 20; src/slam_frontend_main.cc:163-165).
+    The per-node unit the incremental live viewer appends as a delta."""
+    if not node.features:
+        return np.zeros((0, 3))
+    R_cr = left_cam_to_robot[:3, :3]
+    t_cr = left_cam_to_robot[:3, 3]
+    p3d = np.array([f.point3d for f in node.features], np.float64)
+    finite = np.all(np.isfinite(p3d), axis=-1)
+    norm = np.linalg.norm(p3d, axis=-1)
+    keep = finite & (p3d[:, 2] > 0.1) & (norm > 0.5) & (norm < 20.0)
+    if not np.any(keep):
+        return np.zeros((0, 3))
+    p_robot = p3d[keep] @ R_cr.T + t_cr
+    q = np.asarray(node.pose.angle, np.float64)
+    return np.stack([np_geom.quat_rotate(q, p) for p in p_robot]) + np.asarray(
+        node.pose.loc, np.float64
+    )
+
+
 def landmark_points_world(problem: SLAMProblem, left_cam_to_robot: np.ndarray) -> np.ndarray:
     """World-frame landmark cloud with the reference's display filter
     (z > 0.1, 0.5 < ||p|| < 20; src/slam_frontend_main.cc:163-165)."""
-    pts = []
-    R_cr = left_cam_to_robot[:3, :3]
-    t_cr = left_cam_to_robot[:3, 3]
-    for node in problem.nodes:
-        if not node.features:
-            continue
-        p3d = np.array([f.point3d for f in node.features], np.float64)
-        finite = np.all(np.isfinite(p3d), axis=-1)
-        norm = np.linalg.norm(p3d, axis=-1)
-        keep = finite & (p3d[:, 2] > 0.1) & (norm > 0.5) & (norm < 20.0)
-        if not np.any(keep):
-            continue
-        p_robot = p3d[keep] @ R_cr.T + t_cr
-        q = np.asarray(node.pose.angle, np.float64)
-        p_world = np.stack([np_geom.quat_rotate(q, p) for p in p_robot]) + np.asarray(
-            node.pose.loc, np.float64
-        )
-        pts.append(p_world)
+    pts = [node_landmarks_world(n, left_cam_to_robot) for n in problem.nodes]
+    pts = [p for p in pts if len(p)]
     return np.concatenate(pts, axis=0) if pts else np.zeros((0, 3))
 
 
