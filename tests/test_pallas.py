@@ -129,3 +129,71 @@ class TestFastScoresNms:
         raw, supp = fast_scores_nms(img, interpret=True)
         assert np.asarray(raw).shape == (50, 128)
         assert np.asarray(supp).shape == (50, 128)
+
+
+class TestExtractPatchesVmem:
+    """VMEM-resident patch extraction (ops/pallas_kernels.extract_patches_vmem)
+    vs the XLA slab-gather reference (ops/brief.extract_patches): exact value
+    parity including the explicit start clamping, at several image shapes and
+    keypoint edge cases."""
+
+    def test_parity_interpret(self):
+        import jax.numpy as jnp
+
+        from vision_slam_frontend_tpu.ops.brief import extract_patches
+        from vision_slam_frontend_tpu.ops.pallas_kernels import (
+            extract_patches_vmem,
+        )
+
+        rng = np.random.default_rng(0)
+        for H, W, K, blk in ((480, 640, 256, 64), (96, 128, 64, 32), (50, 130, 32, 32)):
+            img = rng.uniform(0, 255, (H, W)).astype(np.float32)
+            img2 = rng.uniform(0, 255, (H, W)).astype(np.float32)
+            kps = np.concatenate(
+                [
+                    rng.uniform(0, [W, H], (K - 8, 2)),
+                    np.array(
+                        [
+                            [0, 0], [W - 1, H - 1], [5, 5], [W - 3, 7],
+                            [2, H - 2], [W / 2 + 0.4, H / 2 + 0.6],
+                            [15.5, 15.4], [W - 0.1, H - 0.1],
+                        ]
+                    ),
+                ]
+            ).astype(np.float32)
+            stacked = jnp.stack([jnp.asarray(img), jnp.asarray(img2)], axis=-1)
+            ref = np.asarray(extract_patches(stacked, jnp.asarray(kps)))
+            out = np.asarray(
+                extract_patches_vmem(
+                    jnp.stack([jnp.asarray(img), jnp.asarray(img2)]),
+                    jnp.asarray(kps), block=blk, interpret=True,
+                )
+            )
+            np.testing.assert_array_equal(out[:, 0], ref[..., 0])
+            np.testing.assert_array_equal(out[:, 1], ref[..., 1])
+
+    def test_brisk_patch_size(self):
+        """ps=27 (BRISK plane patches), C=5 channels."""
+        import jax.numpy as jnp
+
+        from vision_slam_frontend_tpu.ops.pallas_kernels import (
+            extract_patches_vmem,
+        )
+
+        rng = np.random.default_rng(1)
+        H, W, K, C = 120, 160, 32, 5
+        imgs = rng.uniform(0, 255, (C, H, W)).astype(np.float32)
+        kps = rng.uniform([16, 16], [W - 16, H - 16], (K, 2)).astype(np.float32)
+        out = np.asarray(
+            extract_patches_vmem(
+                jnp.asarray(imgs), jnp.asarray(kps), ps=27, block=32,
+                interpret=True,
+            )
+        )
+        assert out.shape == (K, C, 27 * 27)
+        # Spot-check one keypoint against numpy.
+        x, y = np.round(kps[3]).astype(int)
+        sy, sx = np.clip(y - 13, 0, H - 27), np.clip(x - 13, 0, W - 27)
+        np.testing.assert_array_equal(
+            out[3, 2].reshape(27, 27), imgs[2, sy : sy + 27, sx : sx + 27]
+        )

@@ -306,9 +306,12 @@ def akaze_describe(
 
     Returns (descriptors (K, 16) uint32, orientations (K,) f32 radians).
     """
-    pL = extract_patches(L, keypoints)  # (K, 961)
-    pX = extract_patches(Lx, keypoints)
-    pY = extract_patches(Ly, keypoints)
+    # ONE channel-stacked slab gather instead of three: the patch gather is
+    # transaction-bound, so packing (L, Lx, Ly) into each 31-row slice
+    # triples the bytes per HBM transaction (same trick as
+    # brief.orient_and_describe; BASELINE.md round 3).
+    p3 = extract_patches(jnp.stack([L, Lx, Ly], axis=-1), keypoints)
+    pL, pX, pY = p3[..., 0], p3[..., 1], p3[..., 2]
     K = pL.shape[0]
 
     # Orientation: Gaussian-disk mean gradient.

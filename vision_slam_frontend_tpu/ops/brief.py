@@ -121,8 +121,11 @@ def extract_patches(image: jnp.ndarray, keypoints: jnp.ndarray) -> jnp.ndarray:
     vmapped dynamic_slice — XLA lowers it to one gather of row-contiguous
     slabs, far friendlier to HBM than per-sample scattered gathers
     (CLAUDE.md perf rule: small-row gathers are transaction-bound).
-    dynamic_slice clamps starts, so out-of-range (invalid/padded) keypoints
-    are safe.
+    Starts are clamped EXPLICITLY: lax.dynamic_slice's own clamp sends
+    negative starts to the high corner on current JAX (unsigned
+    interpretation) — harmless for the masked invalid/padded keypoints but
+    ill-defined; the explicit clip pins the semantics the Pallas VMEM kernel
+    (ops/pallas_kernels.extract_patches_vmem) reproduces exactly.
 
     Accepts (H, W) -> (K, 961) or multichannel (H, W, C) -> (K, 961, C).
     Stacking the channels a stage needs (e.g. unblurred for orientation +
@@ -131,8 +134,15 @@ def extract_patches(image: jnp.ndarray, keypoints: jnp.ndarray) -> jnp.ndarray:
     that is ~2x cheaper than two single-channel extractions (measured at
     K=8192: BASELINE.md round 3).
     """
-    kx = jnp.round(keypoints[:, 0]).astype(jnp.int32) - PATCH_RADIUS
-    ky = jnp.round(keypoints[:, 1]).astype(jnp.int32) - PATCH_RADIUS
+    H, W = image.shape[0], image.shape[1]
+    kx = jnp.clip(
+        jnp.round(keypoints[:, 0]).astype(jnp.int32) - PATCH_RADIUS,
+        0, W - PATCH_SIZE,
+    )
+    ky = jnp.clip(
+        jnp.round(keypoints[:, 1]).astype(jnp.int32) - PATCH_RADIUS,
+        0, H - PATCH_SIZE,
+    )
     K = keypoints.shape[0]
 
     if image.ndim == 3:
@@ -321,6 +331,37 @@ def _describe_bits_mxu(patches: jnp.ndarray, bins: jnp.ndarray) -> jnp.ndarray:
     return (mine < 0).astype(jnp.uint32)  # (K, 256)
 
 
+def _use_pallas_patches(k: int, image_bytes: int = 0) -> bool:
+    """Dispatch patch extraction to the Pallas VMEM kernel?
+
+    OPT-IN ONLY (VSF_ENABLE_PALLAS=1 or a comma list containing "patches"),
+    never "auto": the kernel is parity-tested and structurally eliminates the
+    gather's HBM transactions, but THIS environment's remote Mosaic toolchain
+    rejects its essential construct — any VMEM vector load whose address
+    comes from an SMEM scalar (probe: grid-derived dynamic starts compile,
+    scalar-prefetch-derived ones exit the compile helper; BASELINE.md round 3
+    "toolchain limits"). On a standard libtpu/Mosaic build, flip this on and
+    measure. Requirements when forced: TPU backend, K % 64 == 0, stacked
+    image fits VMEM with headroom.
+    """
+    import os
+
+    flag = os.environ.get("VSF_ENABLE_PALLAS", "")
+    if not (flag == "1" or "patches" in flag.split(",")):
+        return False
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:
+        return False
+    if k % 64 != 0:
+        return False
+    # Leave headroom in the ~16 MB scoped VMEM for output double-buffering.
+    if image_bytes > 10 * 1024 * 1024:
+        return False
+    return True
+
+
 @jax.jit
 def orient_and_describe(
     image: jnp.ndarray,
@@ -338,14 +379,33 @@ def orient_and_describe(
 
     Returns (orientations (K,) f32, descriptors (K, 8) uint32).
     """
-    stacked = jnp.stack(
-        [image.astype(jnp.float32), image_blurred.astype(jnp.float32)], axis=-1
-    )
-    patches2 = extract_patches(stacked, keypoints)  # (K, 961, 2)
+    if _use_pallas_patches(keypoints.shape[0], 2 * image.size * 4):
+        # VMEM-resident extraction: the slab gather is transaction-bound in
+        # HBM; the Pallas kernel keeps the whole image in VMEM and pays zero
+        # HBM transactions per patch (ops/pallas_kernels.extract_patches_vmem,
+        # exact value parity with the gather below).
+        from vision_slam_frontend_tpu.ops.pallas_kernels import (
+            extract_patches_vmem,
+        )
+
+        out = extract_patches_vmem(
+            jnp.stack(
+                [image.astype(jnp.float32), image_blurred.astype(jnp.float32)]
+            ),
+            keypoints,
+        )  # (K, 2, 961)
+        p_orient, p_desc = out[:, 0], out[:, 1]
+    else:
+        stacked = jnp.stack(
+            [image.astype(jnp.float32), image_blurred.astype(jnp.float32)],
+            axis=-1,
+        )
+        patches2 = extract_patches(stacked, keypoints)  # (K, 961, 2)
+        p_orient, p_desc = patches2[..., 0], patches2[..., 1]
     w = jnp.stack([jnp.asarray(_MOMENT_WX), jnp.asarray(_MOMENT_WY)], axis=1)
-    m = jax.lax.dot(patches2[..., 0], w, preferred_element_type=jnp.float32)
+    m = jax.lax.dot(p_orient, w, preferred_element_type=jnp.float32)
     theta = jnp.where(valid, jnp.arctan2(m[:, 1], m[:, 0]), 0.0)
-    bits = _describe_bits_mxu(patches2[..., 1], quantize_angle(theta))
+    bits = _describe_bits_mxu(p_desc, quantize_angle(theta))
     packed = pack_bits(bits)
     return theta, jnp.where(valid[:, None], packed, jnp.uint32(0))
 

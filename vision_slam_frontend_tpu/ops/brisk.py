@@ -162,9 +162,16 @@ def _extract_multiscale_patches(image: jnp.ndarray, keypoints: jnp.ndarray) -> j
     """
     from vision_slam_frontend_tpu.ops.image import gaussian_blur
 
+    H, W = image.shape
     K = keypoints.shape[0]
-    kx = jnp.round(keypoints[:, 0]).astype(jnp.int32) - PATCH_RADIUS
-    ky = jnp.round(keypoints[:, 1]).astype(jnp.int32) - PATCH_RADIUS
+    kx = jnp.clip(
+        jnp.round(keypoints[:, 0]).astype(jnp.int32) - PATCH_RADIUS,
+        0, W - PATCH_SIZE,
+    )
+    ky = jnp.clip(
+        jnp.round(keypoints[:, 1]).astype(jnp.int32) - PATCH_RADIUS,
+        0, H - PATCH_SIZE,
+    )
     S = len(RINGS)
 
     # ONE slab gather over the channel-stacked blur pyramid instead of S
@@ -173,6 +180,21 @@ def _extract_multiscale_patches(image: jnp.ndarray, keypoints: jnp.ndarray) -> j
     # (same trick as brief.orient_and_describe; measured win: BASELINE.md
     # round 3).
     sigmas = {sig: gaussian_blur(image, sigma=sig) for sig in {s for _, _, s in RINGS}}
+
+    from vision_slam_frontend_tpu.ops.brief import _use_pallas_patches
+
+    if _use_pallas_patches(K, S * image.size * 4):
+        # VMEM-resident extraction (zero HBM transactions per patch); plane-
+        # major output matches the flat layout directly.
+        from vision_slam_frontend_tpu.ops.pallas_kernels import (
+            extract_patches_vmem,
+        )
+
+        planes = jnp.stack([sigmas[RINGS[s][2]] for s in range(S)])  # (S, H, W)
+        return extract_patches_vmem(planes, keypoints, ps=PATCH_SIZE).reshape(
+            K, S * PATCH_AREA
+        )
+
     stacked = jnp.stack([sigmas[RINGS[s][2]] for s in range(S)], axis=-1)  # (H, W, S)
 
     def one(sy, sx):

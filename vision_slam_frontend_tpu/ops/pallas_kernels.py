@@ -360,3 +360,88 @@ def fast_scores_nms(image: jnp.ndarray, interpret: bool = False):
         interpret=interpret,
     )(padded)
     return raw[:H], out[:H]
+
+
+# ---------------------------------------------------------------------------
+# Patch extraction: the transaction-bound slab gather done from VMEM instead.
+# ---------------------------------------------------------------------------
+
+_PATCH_LW = 32  # lane width per patch row (>= patch size; excess sliced off)
+
+
+def _extract_patches_kernel(
+    ys_ref, xs_ref, img_ref, patch_ref, *, block: int, ps: int, channels: int
+):
+    """One program extracts `block` patches from the VMEM-resident image.
+
+    Per keypoint: a dynamic (ps, _PATCH_LW) slice per channel — sublane AND
+    lane starts are runtime values (Mosaic lowers the unaligned lane start to
+    a shift), but every read hits VMEM, so there are no HBM transactions at
+    all; the XLA gather path pays ~31 row-transactions per keypoint per
+    channel in HBM (CLAUDE.md: small-row gathers are transaction-bound).
+    """
+    i = pl.program_id(0)
+    for b in range(block):
+        ky = ys_ref[i * block + b]
+        kx = xs_ref[i * block + b]
+        for c in range(channels):
+            patch_ref[b, c] = img_ref[c, pl.ds(ky, ps), pl.ds(kx, _PATCH_LW)]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ps", "block", "interpret")
+)
+def extract_patches_vmem(
+    images: jnp.ndarray,
+    keypoints: jnp.ndarray,
+    ps: int = 31,
+    block: int = 64,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(C, H, W) images + (K, 2) keypoints -> (K, C, ps*ps) flat patches.
+
+    Drop-in for ops/brief.extract_patches on stacked channels (there:
+    (H, W, C) -> (K, ps*ps, C)); identical values including the
+    dynamic_slice start clamping, channel-major here. K must be a multiple
+    of `block` (detector capacities are powers of two).
+
+    CAVEAT (this environment): the remote Mosaic toolchain rejects VMEM
+    loads addressed by SMEM scalars — the essential construct here — so the
+    kernel only runs in interpret mode or on a standard libtpu build; the
+    dispatch (ops/brief._use_pallas_patches) is opt-in accordingly.
+    BASELINE.md round 3 "toolchain limit" records the probe
+    (probe_kernel_variants.py: grid-derived dynamic starts compile,
+    scalar-derived ones do not).
+    """
+    C, H, W = images.shape
+    K = keypoints.shape[0]
+    assert K % block == 0, (K, block)
+    r = ps // 2
+    ys = jnp.clip(jnp.round(keypoints[:, 1]).astype(jnp.int32) - r, 0, H - ps)
+    xs = jnp.clip(jnp.round(keypoints[:, 0]).astype(jnp.int32) - r, 0, W - ps)
+    # Lane-dim pad so the fixed 32-wide read never crosses the array end
+    # (cols >= W are junk; sliced off below).
+    padded = jnp.pad(images, ((0, 0), (0, 0), (0, _PATCH_LW)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(K // block,),
+        in_specs=[
+            pl.BlockSpec(
+                (C, H, W + _PATCH_LW), lambda i, ys, xs: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (block, C, ps, _PATCH_LW), lambda i, ys, xs: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _extract_patches_kernel, block=block, ps=ps, channels=C
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((K, C, ps, _PATCH_LW), jnp.float32),
+        interpret=interpret,
+    )(ys, xs, padded.astype(jnp.float32))
+    return out[:, :, :, :ps].reshape(K, C, ps * ps)
