@@ -45,10 +45,14 @@ def main(argv=None) -> int:
         help="sanitizer mode: check each solver step for non-finite updates",
     )
     p.add_argument(
-        "--schur_solver", choices=["auto", "dense", "pcg", "segments"],
+        "--schur_solver",
+        choices=["auto", "dense", "pcg", "pcg_chunked", "segments"],
         default="auto",
         help="inner reduced-camera solver: dense Cholesky (exact, fastest up "
         "to ~1-2k poses), matrix-free PCG (scales past that / distributed), "
+        "pcg_chunked (PCG as several small programs + host CG loop — the "
+        "only form that compiles at N >= ~2.5M observations; auto switches "
+        "to it above BASolverConfig.chunked_obs_threshold), "
         "or segment-parallel submaps (pose-chain sharded two-level solver "
         "for long trajectories; see parallel/segment_ba.py)",
     )
