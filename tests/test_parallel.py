@@ -247,3 +247,48 @@ class TestMultichipDryrun:
         import __graft_entry__ as g
 
         g.dryrun_multichip(8)
+
+
+class TestCommReport:
+    """Collective-volume extraction (parallel/comm_report.py): the compiled
+    HLO of each distributed BA mode must show the expected all-reduce
+    payloads, with CG-loop collectives attributed to the while body."""
+
+    def test_collective_volume_parser(self):
+        from vision_slam_frontend_tpu.parallel.comm_report import (
+            collective_volume,
+        )
+
+        hlo = """
+HloModule m
+%body.1 (x: f32[8,128]) -> f32[8,128] {
+  %ar1 = f32[8,128]{1,0} all-reduce(f32[8,128]{1,0} %p0), replica_groups={}
+}
+ENTRY %main () -> f32[16] {
+  %w = f32[8,128]{1,0} while(...), body=%body.1, condition=%cond.1
+  %ar2 = f32[16]{0} all-reduce(f32[16]{0} %q0), replica_groups={}
+}
+"""
+        vol = collective_volume(hlo)
+        assert vol["count"] == 2
+        assert vol["loop_bytes"] == 8 * 128 * 4  # inside %body.1
+        assert vol["once_bytes"] == 16 * 4
+        assert vol["by_op"]["all-reduce"] == 8 * 128 * 4 + 16 * 4
+
+    def test_report_modes_small(self, mesh8):
+        from vision_slam_frontend_tpu.parallel.comm_report import report_modes
+
+        results = report_modes(n_devices=8, P=16, L=1024, obs=4)
+        by_mode = {r["mode"]: r for r in results}
+        # Obs-sharded PCG: per-CG-iteration psums of (L,3)+(P,6) grads must
+        # appear in the while body, one-time V/g reductions outside it.
+        pcg = by_mode["obs_sharded_pcg"]
+        assert pcg["loop_bytes"] >= 1024 * 3 * 4
+        assert pcg["once_bytes"] > 0
+        assert pcg["total_bytes_per_lm_iter"] == (
+            pcg["once_bytes"] + pcg["cg_iters"] * pcg["loop_bytes"]
+        )
+        # Landmark-sharded dense: the psum'd reduced camera matrix dominates.
+        dense = by_mode["lm_sharded_dense"]
+        assert dense["once_bytes"] >= (6 * 16) ** 2 * 4
+        assert by_mode["segment_parallel"]["count"] == 0
