@@ -45,6 +45,13 @@ def make_problem(P, L, obs_per_lm, seed=0):
     # end otherwise pile onto pose P-1 (at L=500k that inflated Mp from ~5.5k
     # to 21.7k — a 4x padded-memory blowup no real trajectory has).
     base_pose = (lm[:, 2] / 0.5).astype(np.int64) % P
+    # Landmark ids in first-observed-pose order, exactly as
+    # tracks.build_ba_problem emits real problems: the dense solver's banded
+    # coupling plan (backend/ba._dense_coupling_plan) keys off this locality.
+    # (The handful of wraparound landmarks near pose 0 land in chunk 0, which
+    # the plan places full-width — the loop-closure-like outlier case.)
+    lm_order = np.argsort(base_pose, kind="stable")
+    lm, base_pose = lm[lm_order], base_pose[lm_order]
     obs_lm = np.repeat(np.arange(L), obs_per_lm)
     obs_pose = ((base_pose[obs_lm] - rng.integers(1, 12, N)) % P).astype(np.int32)
     # Pose-major observation order, like every real frontend problem (the
@@ -103,10 +110,12 @@ def _bench_config(P, L, obs_per_lm, solver, cg_iters, n_iters=10, with_mfu=False
 
     from vision_slam_frontend_tpu.backend.ba import (
         _apply_step,
-        _linearize,
-        _solve_schur_dense,
-        _solve_schur_pcg,
-        _solve_schur_pcg_posemajor_chunked,
+        _build_pm_inputs,
+        _dense_coupling_plan,
+        _linearize_pm,
+        _solve_schur_dense_pm,
+        _solve_schur_pcg_posemajor_chunked_from_pm,
+        _solve_schur_pcg_posemajor_from_pm,
     )
     from vision_slam_frontend_tpu.backend.residuals import CameraParams
 
@@ -151,19 +160,27 @@ def _bench_config(P, L, obs_per_lm, solver, cg_iters, n_iters=10, with_mfu=False
             "sec_per_iter": round(dt / n_iters, 4),
         }
 
+    # The production pipeline (backend/ba._optimize_round): observation
+    # inputs re-laid-out pose-major ONCE, every iteration linearizes directly
+    # in that layout — no per-iteration Jacobian relayout gathers.
+    pm = _build_pm_inputs(problem)
+    plan = _dense_coupling_plan(problem) if solver == "dense" else None
+
     def one_iter(p):
-        r, Jp, Jl, ro, Ji, Jj = _linearize(cam, p, hd, wt, wr, True)
+        r_pm, Jp_pm, Jl_pm, ro, Ji, Jj = _linearize_pm(cam, p, pm, hd, wt, wr, True)
         if solver == "dense":
-            d_pose, d_lm, res = _solve_schur_dense(
-                r, Jp, Jl, ro, Ji, Jj, p, lam, True
+            d_pose, d_lm, res = _solve_schur_dense_pm(
+                pm, r_pm, Jp_pm, Jl_pm, ro, Ji, Jj, p, lam,
+                fix_first=True, plan=plan,
             )
         elif solver == "pcg_chunked":
-            d_pose, d_lm, res = _solve_schur_pcg_posemajor_chunked(
-                r, Jp, Jl, ro, Ji, Jj, p, lam, cg_iters, True
+            d_pose, d_lm, res = _solve_schur_pcg_posemajor_chunked_from_pm(
+                pm, r_pm, Jp_pm, Jl_pm, ro, Ji, Jj, p, lam, cg_iters, True
             )
         else:
-            d_pose, d_lm, res = _solve_schur_pcg(
-                r, Jp, Jl, ro, Ji, Jj, p, lam, cg_iters, True
+            d_pose, d_lm, res = _solve_schur_pcg_posemajor_from_pm(
+                pm, r_pm, Jp_pm, Jl_pm, ro, Ji, Jj, p, lam,
+                cg_iters=cg_iters, fix_first=True,
             )
         return _apply_step(p, d_pose, d_lm)
 

@@ -308,6 +308,112 @@ class TestDenseSchur:
         )
         assert np.isfinite(info_a["cost"])
 
+    def test_pm_linearize_matches_flat(self):
+        """Pose-major linearization (the production path: no per-iteration
+        Jacobian relayout) must reproduce the flat linearization exactly when
+        re-laid-out through the same gather tables."""
+        import jax.numpy as jnp
+
+        from vision_slam_frontend_tpu.backend.ba import (
+            _build_pm_inputs,
+            _linearize,
+            _linearize_pm,
+        )
+
+        cam, problem, _, _ = synthetic_ba(
+            P=7, L=90, pose_noise=0.04, lm_noise=0.25, px_noise=0.2, seed=5
+        )
+        hd, wt, wr = jnp.float32(4.0), jnp.float32(30.0), jnp.float32(60.0)
+        pm = _build_pm_inputs(problem)
+        r_pm, Jp_pm, Jl_pm, ro2, Ji2, Jj2 = _linearize_pm(
+            cam, problem, pm, hd, wt, wr, True
+        )
+        r, Jp, Jl, ro, Ji, Jj = _linearize(cam, problem, hd, wt, wr, True)
+        tbl = np.asarray(problem.pose_obs)
+        msk = np.asarray(problem.pose_obs_mask).astype(np.float32)
+        for flat, pmv, nd in ((r, r_pm, 1), (Jp, Jp_pm, 2), (Jl, Jl_pm, 2)):
+            want = np.asarray(flat)[tbl] * msk.reshape(msk.shape + (1,) * nd)
+            # Same math; different XLA fusion order moves f32 values ~1e-5.
+            np.testing.assert_allclose(
+                np.asarray(pmv), want, rtol=1e-4, atol=1e-4
+            )
+        np.testing.assert_allclose(np.asarray(ro2), np.asarray(ro), rtol=1e-6)
+
+    def test_pm_pcg_matches_flat_pcg_step(self):
+        """The pm-input fused PCG must match the flat-input (relayout) form."""
+        import jax.numpy as jnp
+
+        from vision_slam_frontend_tpu.backend.ba import (
+            _build_pm_inputs,
+            _linearize,
+            _linearize_pm,
+            _solve_schur_pcg,
+            _solve_schur_pcg_posemajor_from_pm,
+        )
+
+        cam, problem, _, _ = synthetic_ba(
+            P=7, L=90, pose_noise=0.04, lm_noise=0.25, px_noise=0.2, seed=5
+        )
+        hd, wt, wr = jnp.float32(4.0), jnp.float32(30.0), jnp.float32(60.0)
+        lam = jnp.float32(1e-3)
+        r, Jp, Jl, ro, Ji, Jj = _linearize(cam, problem, hd, wt, wr, True)
+        flat = _solve_schur_pcg(r, Jp, Jl, ro, Ji, Jj, problem, lam, 24, True)
+        pm = _build_pm_inputs(problem)
+        r_pm, Jp_pm, Jl_pm, ro2, Ji2, Jj2 = _linearize_pm(
+            cam, problem, pm, hd, wt, wr, True
+        )
+        pmres = _solve_schur_pcg_posemajor_from_pm(
+            pm, r_pm, Jp_pm, Jl_pm, ro2, Ji2, Jj2, problem, lam,
+            cg_iters=24, fix_first=True,
+        )
+        # Identical math; the pm linearization's different fusion order moves
+        # inputs ~1e-5, which 24 CG iterations amplify to ~1e-2 of the step.
+        for f, c in zip(flat[:2], pmres[:2]):
+            scale = max(float(np.abs(np.asarray(f)).max()), 1e-9)
+            np.testing.assert_allclose(
+                np.asarray(f), np.asarray(c), atol=3e-2 * scale
+            )
+
+    def test_banded_coupling_matches_full_width(self):
+        """The banded B B^T placement (static _dense_coupling_plan) must
+        reproduce the full-width dense step on a pose-local problem, chunk-0
+        wraparound outliers (full-width fallback, pmin=-1) included."""
+        import jax.numpy as jnp
+
+        from bench_ba import make_problem
+        from vision_slam_frontend_tpu.backend.ba import (
+            _build_pm_inputs,
+            _dense_coupling_plan,
+            _linearize_pm,
+            _solve_schur_dense_pm,
+        )
+
+        problem = make_problem(P=64, L=512, obs_per_lm=3, seed=7)
+        cam = make_cam()
+        hd, wt, wr = jnp.float32(4.0), jnp.float32(30.0), jnp.float32(60.0)
+        lam = jnp.float32(1e-3)
+        pm = _build_pm_inputs(problem)
+        plan = _dense_coupling_plan(problem, chunk=64, pw_multiple=8)
+        PW, chunk, pmins = plan
+        assert PW < 64, f"plan not banded: {plan}"
+        assert any(p >= 0 for p in pmins)
+        r_pm, Jp_pm, Jl_pm, ro, Ji, Jj = _linearize_pm(
+            cam, problem, pm, hd, wt, wr, True
+        )
+        banded = _solve_schur_dense_pm(
+            pm, r_pm, Jp_pm, Jl_pm, ro, Ji, Jj, problem, lam,
+            fix_first=True, plan=plan,
+        )
+        full = _solve_schur_dense_pm(
+            pm, r_pm, Jp_pm, Jl_pm, ro, Ji, Jj, problem, lam,
+            fix_first=True, plan=None,
+        )
+        for b, f in zip(banded[:2], full[:2]):
+            scale = max(float(np.abs(np.asarray(f)).max()), 1e-9)
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(f), atol=2e-3 * scale, rtol=2e-3
+            )
+
     def test_dense_and_pcg_reach_same_optimum(self):
         cam, problem, gt_t, _ = synthetic_ba(
             P=8, L=100, pose_noise=0.05, lm_noise=0.3, px_noise=0.3, seed=6

@@ -170,6 +170,55 @@ def _linearize(cam, problem: BAProblem, huber_delta, odom_t_weight, odom_r_weigh
     return r, Jp, Jl, ro, Ji, Jj
 
 
+@jax.jit
+def _build_pm_inputs(problem: BAProblem):
+    """One-time gather of observation INPUTS into pose-major (P, Mp) layout.
+
+    The observation graph is static during a solve, so pixels / landmark ids /
+    masks are re-laid-out ONCE here (≤ 13 bytes per observation) and every LM
+    iteration then linearizes directly in pose-major form — instead of
+    re-gathering the ~160-byte Jacobian/residual rows per iteration (the
+    316 ms/iter relayout phase of the round-3 dense-BA profile, BASELINE.md).
+    Rebuilt per optimize round because trimming mutates obs_mask.
+    """
+    tbl = problem.pose_obs  # (P, Mp) flat observation indices
+    mask = problem.pose_obs_mask & problem.obs_mask[tbl]
+    pm = {
+        "landmark": problem.obs_landmark[tbl],  # (P, Mp)
+        "pixel": problem.obs_pixel[tbl],  # (P, Mp, 2)
+        "mask": mask,  # (P, Mp) bool
+        "pixel_right": None,
+        "right_mask": None,
+    }
+    if problem.obs_pixel_right is not None:
+        pm["pixel_right"] = problem.obs_pixel_right[tbl]
+        pm["right_mask"] = problem.obs_right_mask[tbl] & mask
+    return pm
+
+
+@partial(jax.jit, static_argnames=("cfg_huber_enabled",))
+def _linearize_pm(cam, problem: BAProblem, pm, huber_delta, odom_t_weight, odom_r_weight, cfg_huber_enabled: bool):
+    """Pose-major residuals + Jacobians (reprojection) + odometry terms."""
+    from vision_slam_frontend_tpu.backend.residuals import linearize_reprojection_pm
+
+    r, Jp, Jl = linearize_reprojection_pm(
+        cam, problem.poses_t, problem.poses_q, problem.landmarks,
+        pm["landmark"], pm["pixel"], pm["mask"],
+        pm["pixel_right"], pm["right_mask"],
+    )
+    if cfg_huber_enabled:
+        w = huber_weights(r, huber_delta)[..., None]  # (P, Mp, 1)
+        r = r * w
+        Jp = Jp * w[..., None]
+        Jl = Jl * w[..., None]
+    ro, Ji, Jj = linearize_odometry(
+        problem.poses_t, problem.poses_q, problem.odom_i, problem.odom_j,
+        problem.odom_t, problem.odom_q, problem.odom_mask,
+        odom_t_weight, odom_r_weight,
+    )
+    return r, Jp, Jl, ro, Ji, Jj
+
+
 @partial(jax.jit, static_argnames=("cfg_huber_enabled",))
 def compute_cost(cam, problem: BAProblem, huber_delta, odom_t_weight, odom_r_weight, cfg_huber_enabled: bool):
     """True robustified cost (not the IRLS quadratic)."""
@@ -261,7 +310,26 @@ def _run_pcg(b, S_apply, M_apply, cg_iters):
 
 
 def _pm_build(r, Jp, Jl, ro, Ji, Jj, problem: BAProblem, lm_damping, fix_first: bool):
-    """Pose-major relayout + every one-time product of a Schur-PCG step.
+    """Flat-input wrapper: pose-major relayout + _pm_build_from_pm.
+
+    Kept for callers that linearized flat (sharded problems, probes); the
+    production path linearizes pose-major directly (_linearize_pm) and calls
+    _pm_build_from_pm, skipping the relayout gathers entirely.
+    """
+    tbl = problem.pose_obs  # (P, Mp) flat obs indices
+    pm_mask = problem.pose_obs_mask.astype(r.dtype)[..., None]  # (P, Mp, 1)
+    Jp_pm = Jp[tbl] * pm_mask[..., None]  # (P, Mp, 2, 6)
+    Jl_pm = Jl[tbl] * pm_mask[..., None]  # (P, Mp, 2, 3)
+    r_pm = r[tbl] * pm_mask  # (P, Mp, 2)
+    pm = {
+        "landmark": problem.obs_landmark[tbl],
+        "mask": problem.pose_obs_mask,
+    }
+    return _pm_build_from_pm(pm, r_pm, Jp_pm, Jl_pm, ro, Ji, Jj, problem, lm_damping, fix_first)
+
+
+def _pm_build_from_pm(pm, r_pm, Jp_pm, Jl_pm, ro, Ji, Jj, problem: BAProblem, lm_damping, fix_first: bool):
+    """Every one-time product of a Schur-PCG step, from pose-major inputs.
 
     Shared by the fused single-program path (_solve_schur_pcg_posemajor,
     traced into its caller's jit) and the chunked multi-program path
@@ -274,17 +342,11 @@ def _pm_build(r, Jp, Jl, ro, Ji, Jj, problem: BAProblem, lm_damping, fix_first: 
     """
     P = problem.poses_t.shape[0]
     L = problem.landmarks.shape[0]
-    tbl = problem.pose_obs  # (P, Mp) flat obs indices
-    pm_mask = problem.pose_obs_mask.astype(r.dtype)[..., None]  # (P, Mp, 1)
+    pm_mask = pm["mask"].astype(r_pm.dtype)[..., None]  # (P, Mp, 1)
     lm_tbl = problem.lm_obs  # (L, Ml) indices into flat (P*Mp)
-    lm_mask = problem.lm_obs_mask.astype(r.dtype)[..., None]  # (L, Ml, 1)
-    Mp = tbl.shape[1]
-
-    # One-time relayout (invalid/pad slots zeroed by pm_mask).
-    Jp_pm = Jp[tbl] * pm_mask[..., None]  # (P, Mp, 2, 6)
-    Jl_pm = Jl[tbl] * pm_mask[..., None]  # (P, Mp, 2, 3)
-    r_pm = r[tbl] * pm_mask  # (P, Mp, 2)
-    ol_pm = problem.obs_landmark[tbl]  # (P, Mp) landmark id per slot
+    lm_mask = problem.lm_obs_mask.astype(r_pm.dtype)[..., None]  # (L, Ml, 1)
+    ol_pm = pm["landmark"]  # (P, Mp) landmark id per slot
+    Mp = ol_pm.shape[1]
 
     def lm_reduce(x_pm):  # (P, Mp, D) -> (L, D): gather + masked sum
         flat = x_pm.reshape(P * Mp, x_pm.shape[-1])
@@ -301,7 +363,7 @@ def _pm_build(r, Jp, Jl, ro, Ji, Jj, problem: BAProblem, lm_damping, fix_first: 
         fixed = fixed.at[0].set(True)
     if problem.pose_fixed is not None:
         fixed = fixed | problem.pose_fixed
-    free = (~fixed).astype(r.dtype)
+    free = (~fixed).astype(r_pm.dtype)
 
     # --- Gradients.
     g_odom, U_odom, _ = _odom_terms(problem, Ji, Jj, ro, P)
@@ -393,6 +455,25 @@ def _solve_schur_pcg_posemajor(
     return d_pose, d_lm, jnp.linalg.norm(rr)
 
 
+@partial(jax.jit, static_argnames=("cg_iters", "fix_first"))
+def _solve_schur_pcg_posemajor_from_pm(
+    pm, r_pm, Jp_pm, Jl_pm, ro, Ji, Jj, problem: BAProblem, lm_damping,
+    cg_iters: int, fix_first: bool,
+):
+    """Fused pose-major Schur-PCG from pose-major linearization (no relayout)."""
+    state, b, g_lm = _pm_build_from_pm(
+        pm, r_pm, Jp_pm, Jl_pm, ro, Ji, Jj, problem, lm_damping, fix_first
+    )
+    d_pose, rr = _run_pcg(
+        b,
+        lambda x: _pm_sapply(state, x),
+        lambda x: _pm_mapply(state, x),
+        cg_iters,
+    )
+    d_lm = _pm_backsub(state, g_lm, d_pose)
+    return d_pose, d_lm, jnp.linalg.norm(rr)
+
+
 # --- Chunked multi-program variant: same math, split at natural boundaries
 # so each compiled program stays small. At N >= ~2.5M observations the fused
 # single-program form above dies in this environment's remote compile helper
@@ -401,6 +482,7 @@ def _solve_schur_pcg_posemajor(
 # through the tunnel) — noise against S_apply's cost at that scale.
 
 _pm_build_jit = jax.jit(_pm_build, static_argnames=("fix_first",))
+_pm_build_from_pm_jit = jax.jit(_pm_build_from_pm, static_argnames=("fix_first",))
 
 
 @jax.jit
@@ -441,6 +523,20 @@ def _solve_schur_pcg_posemajor_chunked(
     """
     state, b, g_lm = _pm_build_jit(
         r, Jp, Jl, ro, Ji, Jj, problem, lm_damping, fix_first
+    )
+    carry = _pm_cg_init(state, b)
+    for _ in range(cg_iters):
+        carry = _pm_cg_step(state, carry)
+    return _pm_finish(state, g_lm, carry)
+
+
+def _solve_schur_pcg_posemajor_chunked_from_pm(
+    pm, r_pm, Jp_pm, Jl_pm, ro, Ji, Jj, problem: BAProblem, lm_damping,
+    cg_iters: int, fix_first: bool,
+):
+    """Chunked pose-major Schur-PCG from pose-major linearization."""
+    state, b, g_lm = _pm_build_from_pm_jit(
+        pm, r_pm, Jp_pm, Jl_pm, ro, Ji, Jj, problem, lm_damping, fix_first
     )
     carry = _pm_cg_init(state, b)
     for _ in range(cg_iters):
@@ -517,9 +613,57 @@ def _bbt_compensated(Bt_chunk, oh):
     return HH + HL + HL.T
 
 
-@partial(jax.jit, static_argnames=("fix_first",))
-def _solve_schur_dense(
-    r, Jp, Jl, ro, Ji, Jj, problem: BAProblem, lm_damping, fix_first: bool,
+def _dense_coupling_plan(problem: BAProblem, chunk: int = 8192, pw_multiple: int = 64):
+    """Host-side static plan for the dense solver's banded B B^T coupling.
+
+    Frontend problems are pose-local: a landmark's observations span only the
+    keyframes that kept it in view (window W=10 in the reference,
+    src/slam_frontend.cc:424-434), so with landmarks ordered by first
+    observing pose each 8192-landmark chunk touches ~tens of consecutive
+    poses, not all P. The chunk's B slab then needs only 6*PW rows instead of
+    6*P — at the benched P=500/L=100k shape that is ~60x less MXU work and
+    ~8x less placement traffic than full-width placement (the round-3
+    profile's 391 ms coupling phase vs its 58 ms matmul lower bound).
+
+    Returns (PW, chunk, (pmin per chunk)) — all static ints, so the jitted
+    solver specializes on it (one compile per problem, the existing norm).
+    Falls back to full width (PW = P) when landmarks aren't pose-local.
+    """
+    P = int(problem.poses_t.shape[0])
+    L = int(problem.landmarks.shape[0])
+    lm_obs = np.asarray(jax.device_get(problem.lm_obs))
+    lm_mask = np.asarray(jax.device_get(problem.lm_obs_mask))
+    Mp = int(problem.pose_obs.shape[1])
+    pose_idx = lm_obs // Mp  # (L, Ml) pose per landmark-observation slot
+    lmin = np.where(lm_mask, pose_idx, P).min(axis=1)  # (L,) P if unobserved
+    lmax = np.where(lm_mask, pose_idx, -1).max(axis=1)  # (L,) -1 if unobserved
+    bounds = []  # (pmin, span) per chunk; span<=0 marks an empty chunk
+    for l0 in range(0, L, chunk):
+        mx = int(lmax[l0 : l0 + chunk].max())
+        if mx < 0:  # chunk of padding landmarks: contributes nothing
+            bounds.append((0, 0))
+            continue
+        mn = min(int(lmin[l0 : l0 + chunk].min()), mx)
+        bounds.append((mn, mx - mn + 1))
+    # PW covers the pose-local chunks; outlier chunks (e.g. loop-closure
+    # landmarks spanning the whole trajectory) place full-width individually
+    # (pmin = -1) instead of dragging every chunk to full width.
+    local = [s for _, s in bounds if 0 < s <= max(P // 2, pw_multiple)]
+    if not local:
+        return (P, chunk, tuple(0 for _ in bounds))
+    PW = min(-(-max(local) // pw_multiple) * pw_multiple, P)
+    if PW >= P:
+        return (P, chunk, tuple(0 for _ in bounds))
+    return (
+        PW,
+        chunk,
+        tuple(min(mn, P - PW) if 0 <= s <= PW else -1 for mn, s in bounds),
+    )
+
+
+def _dense_core(
+    pm, r_pm, Jp_pm, Jl_pm, ro, Ji, Jj, problem: BAProblem, lm_damping,
+    fix_first: bool, plan,
 ):
     """One damped GN step via an EXPLICIT reduced camera matrix + Cholesky.
 
@@ -531,25 +675,22 @@ def _solve_schur_dense(
     dense Cholesky. Matrix-free PCG pays two
     transaction-bound small-row gathers per CG iteration (~20 ms each at
     500k observations on this hardware); here ALL per-iteration gathers
-    vanish and the MXU does the coupling term at speed of light. Measured
-    (v5e, balanced P=500/L=100k/N=500k): 2.67 vs 1.60 LM iters/s against
-    32-iteration PCG — 1.67x per iteration, and exact (PCG's truncated steps
-    also cost extra LM iterations to reach the same optimum).
+    vanish and the MXU does the coupling term at speed of light.
+
+    Inputs arrive pose-major (r_pm (P,Mp,D), Jp_pm, Jl_pm + the pm dict from
+    _build_pm_inputs) — the production path linearizes directly in this
+    layout (_linearize_pm), so no per-iteration relayout gathers exist.
+    `plan` is the static banded-coupling plan from _dense_coupling_plan
+    (None = full-width placement).
     """
     P = problem.poses_t.shape[0]
     L = problem.landmarks.shape[0]
-    tbl = problem.pose_obs  # (P, Mp)
-    Mp = tbl.shape[1]
-    pm_mask = problem.pose_obs_mask.astype(r.dtype)[..., None]
+    pm_mask = pm["mask"].astype(r_pm.dtype)[..., None]  # (P, Mp, 1)
     lm_tbl = problem.lm_obs  # (L, Ml) indices into flat (P*Mp)
-    lm_mask = problem.lm_obs_mask.astype(r.dtype)[..., None]
+    lm_mask = problem.lm_obs_mask.astype(r_pm.dtype)[..., None]
+    ol_pm = pm["landmark"]  # (P, Mp)
+    Mp = ol_pm.shape[1]
     Ml = lm_tbl.shape[1]
-
-    # Pose-major relayout (one-time gathers, as in the PCG path).
-    Jp_pm = Jp[tbl] * pm_mask[..., None]  # (P, Mp, D, 6)
-    Jl_pm = Jl[tbl] * pm_mask[..., None]  # (P, Mp, D, 3)
-    r_pm = r[tbl] * pm_mask  # (P, Mp, D)
-    ol_pm = problem.obs_landmark[tbl]  # (P, Mp)
 
     def lm_reduce(x_pm):  # (P, Mp, D') -> (L, D')
         flat = x_pm.reshape(P * Mp, x_pm.shape[-1])
@@ -597,18 +738,32 @@ def _solve_schur_dense(
 
     # --- Coupling term: S -= B B^T with B = W V^{-1/2}, built landmark-major
     # in chunks so the pose one-hot placement stays small, then one big MXU
-    # matmul per chunk.
+    # matmul per chunk. With a banded plan each chunk's slab covers only the
+    # PW-pose window its landmarks actually touch (_dense_coupling_plan).
     W_pm = jnp.einsum("pmij,pmik->pmjk", Jp_pm, Jl_pm)  # (P, Mp, 6, 3)
     W_lm = W_pm.reshape(P * Mp, 18)[lm_tbl].reshape(L, Ml, 6, 3) * lm_mask[..., None]
     Bt = jnp.einsum("lmij,lcj->lmic", W_lm, Ginv)  # (L, Ml, 6, 3) = W G^{-T}
     pose_of = lm_tbl // Mp  # (L, Ml)
 
     S2 = S.reshape(6 * P, 6 * P)
-    chunk = 8192
-    for l0 in range(0, L, chunk):
+    if plan is None:
+        chunk = 8192
+        plan = (P, chunk, tuple(0 for _ in range(0, max(L, 1), chunk)))
+    PW, chunk, pmins = plan
+    arw = jnp.arange(PW)
+    for ci, l0 in enumerate(range(0, L, chunk)):
         lc = min(chunk, L - l0)
-        oh = pose_of[l0 : l0 + lc, :, None] == ar[None, None, :]  # (lc, Ml, P)
-        S2 = S2 - _bbt_compensated(Bt[l0 : l0 + lc], oh)
+        pmin = pmins[ci]
+        if pmin < 0:  # outlier chunk (span > PW): full-width placement
+            oh = pose_of[l0 : l0 + lc, :, None] == ar[None, None, :]
+            S2 = S2 - _bbt_compensated(Bt[l0 : l0 + lc], oh)
+            continue
+        # Masked slots carry pose 0 but a zeroed Bt row: outside the window
+        # they one-hot to nothing; inside they contribute exact zeros.
+        oh = (pose_of[l0 : l0 + lc, :, None] - pmin) == arw[None, None, :]
+        bbt = _bbt_compensated(Bt[l0 : l0 + lc], oh)  # (6 PW, 6 PW)
+        a = 6 * pmin
+        S2 = S2.at[a : a + 6 * PW, a : a + 6 * PW].add(-bbt)
 
     # --- Gauge: zero fixed rows/cols, identity on their diagonal blocks.
     free6 = jnp.repeat(free, 6)
@@ -626,6 +781,29 @@ def _solve_schur_dense(
     wtd = lm_reduce(jnp.einsum("pmij,pmi->pmj", Jl_pm, y))
     d_lm = jnp.einsum("ljk,lk->lj", V_inv, g_lm - wtd)
     return d_pose, d_lm, jnp.linalg.norm(rr)
+
+
+# Pose-major-input dense entry (the production path: _linearize_pm feeds it;
+# `plan` from _dense_coupling_plan is static, so one compile per problem).
+_solve_schur_dense_pm = jax.jit(_dense_core, static_argnames=("fix_first", "plan"))
+
+
+@partial(jax.jit, static_argnames=("fix_first",))
+def _solve_schur_dense(
+    r, Jp, Jl, ro, Ji, Jj, problem: BAProblem, lm_damping, fix_first: bool,
+):
+    """Flat-input dense solve: pose-major relayout + _dense_core (full-width
+    coupling). Kept for flat-linearizing callers (segment solver, probes,
+    tests); the production LM loop uses _solve_schur_dense_pm directly."""
+    tbl = problem.pose_obs
+    pm_mask = problem.pose_obs_mask.astype(r.dtype)[..., None]
+    Jp_pm = Jp[tbl] * pm_mask[..., None]
+    Jl_pm = Jl[tbl] * pm_mask[..., None]
+    r_pm = r[tbl] * pm_mask
+    pm = {"landmark": problem.obs_landmark[tbl], "mask": problem.pose_obs_mask}
+    return _dense_core(
+        pm, r_pm, Jp_pm, Jl_pm, ro, Ji, Jj, problem, lm_damping, fix_first, None
+    )
 
 
 def _solve_schur_pcg_scatter(
@@ -932,19 +1110,38 @@ def _optimize_round(
         solver.schur_solver == "pcg_chunked"
         or problem.obs_pose.shape[0] >= solver.chunked_obs_threshold
     )
+    # Pose-major path: observation inputs re-laid-out once per round (the
+    # graph is static within a round; trimming between rounds mutates
+    # obs_mask, hence the rebuild), then every iteration linearizes directly
+    # pose-major — no per-iteration Jacobian relayout gathers.
+    use_pm = problem.pose_obs is not None
+    if use_pm:
+        pm = _build_pm_inputs(problem)
+        dense_plan = _dense_coupling_plan(problem) if use_dense else None
     for it in range(start_iter, solver.max_iterations):
-        r, Jp, Jl, ro, Ji, Jj = _linearize(cam, problem, hd, wt, wr, huber_on)
-        if use_dense:
-            d_pose, d_lm, cg_res = _solve_schur_dense(
-                r, Jp, Jl, ro, Ji, Jj, problem,
-                jnp.float32(lam), solver.fix_first_pose,
+        if use_pm:
+            r_pm, Jp_pm, Jl_pm, ro, Ji, Jj = _linearize_pm(
+                cam, problem, pm, hd, wt, wr, huber_on
             )
-        elif use_chunked:
-            d_pose, d_lm, cg_res = _solve_schur_pcg_posemajor_chunked(
-                r, Jp, Jl, ro, Ji, Jj, problem,
-                jnp.float32(lam), solver.cg_iterations, solver.fix_first_pose,
-            )
+            if use_dense:
+                d_pose, d_lm, cg_res = _solve_schur_dense_pm(
+                    pm, r_pm, Jp_pm, Jl_pm, ro, Ji, Jj, problem,
+                    jnp.float32(lam), fix_first=solver.fix_first_pose,
+                    plan=dense_plan,
+                )
+            elif use_chunked:
+                d_pose, d_lm, cg_res = _solve_schur_pcg_posemajor_chunked_from_pm(
+                    pm, r_pm, Jp_pm, Jl_pm, ro, Ji, Jj, problem,
+                    jnp.float32(lam), solver.cg_iterations, solver.fix_first_pose,
+                )
+            else:
+                d_pose, d_lm, cg_res = _solve_schur_pcg_posemajor_from_pm(
+                    pm, r_pm, Jp_pm, Jl_pm, ro, Ji, Jj, problem,
+                    jnp.float32(lam), cg_iters=solver.cg_iterations,
+                    fix_first=solver.fix_first_pose,
+                )
         else:
+            r, Jp, Jl, ro, Ji, Jj = _linearize(cam, problem, hd, wt, wr, huber_on)
             d_pose, d_lm, cg_res = _solve_schur_pcg(
                 r, Jp, Jl, ro, Ji, Jj, problem,
                 jnp.float32(lam), solver.cg_iterations, solver.fix_first_pose,

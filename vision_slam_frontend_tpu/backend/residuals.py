@@ -173,6 +173,64 @@ def linearize_reprojection(
     return r * m, Jp * m[..., None], Jl * m[..., None]
 
 
+@jax.jit
+def linearize_reprojection_pm(
+    cam: CameraParams, poses_t, poses_q, landmarks, pm_landmark,
+    pm_pixel, pm_mask, pm_pixel_right=None, pm_right_mask=None,
+):
+    """Pose-major linearization: residuals + Jacobians emitted directly in
+    (P, Mp, ...) layout — no per-iteration relayout gathers.
+
+    Row p of every pm_* input holds pose p's observations (the plan built by
+    backend/tracks.build_gather_tables), so the pose parameters broadcast per
+    row (zero gathers) and only the 12-byte landmark positions are gathered
+    (vs. re-gathering the ~160-byte Jacobian rows every LM iteration, the
+    316 ms/iter relayout phase this replaces — BASELINE.md round-3 profile).
+
+    Returns r (P, Mp, D), J_pose (P, Mp, D, 6), J_lm (P, Mp, D, 3), all
+    zeroed on masked slots. D = 4 with stereo pixels, else 2.
+    """
+    P, Mp = pm_landmark.shape
+    t = jnp.broadcast_to(poses_t[:, None], (P, Mp, 3)).reshape(-1, 3)
+    q = jnp.broadcast_to(poses_q[:, None], (P, Mp, 4)).reshape(-1, 4)
+    lm = landmarks[pm_landmark.reshape(-1)]
+    px = pm_pixel.reshape(-1, 2)
+
+    if pm_pixel_right is None:
+        def per_obs(t_i, q_i, lm_i, px_i):
+            d0 = jnp.zeros(6)
+            dl0 = jnp.zeros(3)
+            r = _reproj_with_deltas(cam, t_i, q_i, lm_i, px_i, d0, dl0)
+            Jp = jax.jacfwd(lambda d: _reproj_with_deltas(cam, t_i, q_i, lm_i, px_i, d, dl0))(d0)
+            Jl = jax.jacfwd(lambda dl: _reproj_with_deltas(cam, t_i, q_i, lm_i, px_i, d0, dl))(dl0)
+            return r, Jp, Jl
+
+        r, Jp, Jl = jax.vmap(per_obs)(t, q, lm, px)
+    else:
+        has_r = pm_right_mask.reshape(-1).astype(jnp.float32)
+        pxr = pm_pixel_right.reshape(-1, 2)
+
+        def per_obs(t_i, q_i, lm_i, px_i, pxr_i, hr_i):
+            d0 = jnp.zeros(6)
+            dl0 = jnp.zeros(3)
+            r = _stereo_with_deltas(cam, t_i, q_i, lm_i, px_i, pxr_i, hr_i, d0, dl0)
+            Jp = jax.jacfwd(
+                lambda d: _stereo_with_deltas(cam, t_i, q_i, lm_i, px_i, pxr_i, hr_i, d, dl0)
+            )(d0)
+            Jl = jax.jacfwd(
+                lambda dl: _stereo_with_deltas(cam, t_i, q_i, lm_i, px_i, pxr_i, hr_i, d0, dl)
+            )(dl0)
+            return r, Jp, Jl
+
+        r, Jp, Jl = jax.vmap(per_obs)(t, q, lm, px, pxr, has_r)
+    D = r.shape[-1]
+    m = pm_mask.reshape(-1, 1).astype(r.dtype)
+    r = (r * m).reshape(P, Mp, D)
+    Jp = (Jp * m[..., None]).reshape(P, Mp, D, 6)
+    Jl = (Jl * m[..., None]).reshape(P, Mp, D, 3)
+    return r, Jp, Jl
+
+
 def odometry_residual(t_i, q_i, t_j, q_j, t_meas, q_meas, w_t, w_r):
     """6-vector weighted relative-pose residual."""
     qi_inv = quat_inverse(q_i)

@@ -210,6 +210,12 @@ def build_ba_problem(
 
     if max_landmarks is not None:
         track_list = track_list[:max_landmarks]
+    # Landmark ids in first-observed-pose order: frontend tracks are
+    # pose-local (a landmark spans only the keyframes that kept it in view),
+    # so this ordering makes each landmark chunk of the dense solver's
+    # B B^T coupling touch a narrow pose window — the banded placement plan
+    # (backend/ba._dense_coupling_plan) keys off it.
+    track_list.sort(key=lambda t: t[0])
 
     obs_pose, obs_landmark, obs_pixel = [], [], []
     obs_pixel_right, obs_right = [], []
