@@ -183,6 +183,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--validate", action="store_true",
         help="sanitizer mode: check per-keyframe invariants (NaN/bounds/indices)",
     )
+    p.add_argument(
+        "--interrupt_after", type=int, default=0, metavar="N",
+        help="fault injection: raise SIGINT after N stereo frames "
+        "(deterministic test of the graceful-interrupt path; 0 = off)",
+    )
     return p
 
 
@@ -271,6 +276,30 @@ def main(argv=None) -> int:
         jax.profiler.start_trace(args.profile_dir)
         profiler_ctx = args.profile_dir
 
+    # Graceful interrupt (reference installs a SIGINT handler for clean exit,
+    # src/slam_frontend_main.cc:417-420,436; here Ctrl-C additionally flushes
+    # the pipeline and writes the partial problem + a resumable checkpoint,
+    # so an interrupted run loses nothing). A second Ctrl-C aborts hard.
+    import signal
+
+    interrupted = {"flag": False}
+    prev_sigint = None
+
+    def _on_sigint(signum, frame):
+        if interrupted["flag"]:
+            signal.signal(signal.SIGINT, prev_sigint or signal.SIG_DFL)
+            raise KeyboardInterrupt
+        interrupted["flag"] = True
+        print(
+            "\n[signal] SIGINT: stopping after the current frame; writing "
+            "partial problem + checkpoint (Ctrl-C again to abort hard)"
+        )
+
+    try:
+        prev_sigint = signal.signal(signal.SIGINT, _on_sigint)
+    except ValueError:  # not the main thread (embedded use): no handler
+        prev_sigint = None
+
     print(f"Processing {args.input}")
     t_start = time.perf_counter()
     frames_seen = 0
@@ -288,6 +317,8 @@ def main(argv=None) -> int:
     import itertools
 
     for kind, t, payload in itertools.chain([first], events):
+        if interrupted["flag"]:
+            break
         if t <= resume_t:
             continue
         if kind == "odometry":
@@ -297,6 +328,8 @@ def main(argv=None) -> int:
             left, right = payload
             frames_seen += 1
             added = frontend.observe_image(left, right, t)
+            if args.interrupt_after > 0 and frames_seen >= args.interrupt_after:
+                signal.raise_signal(signal.SIGINT)
             # Count keyframes locally: get_num_poses flushes the frontend's
             # one-deep result pipeline, which would put the device->host fetch
             # back on the critical path every frame.
@@ -335,6 +368,17 @@ def main(argv=None) -> int:
             if args.max_poses > 0 and n_poses >= args.max_poses:
                 break
     elapsed = time.perf_counter() - t_start
+    if prev_sigint is not None:
+        signal.signal(signal.SIGINT, prev_sigint)
+    if interrupted["flag"]:
+        # Nothing is lost: a resumable snapshot regardless of
+        # --checkpoint_every, then the normal epilogue writes the partial
+        # problem and every requested artifact.
+        frontend.save_checkpoint(ckpt_path)
+        print(
+            f"[signal] interrupted at {n_poses} keyframes: checkpoint -> "
+            f"{ckpt_path} (resume with --resume {ckpt_path})"
+        )
     if profiler_ctx:
         import jax
 
@@ -384,7 +428,7 @@ def main(argv=None) -> int:
         # accumulator is complete — append the last keyframe's delta.
         viewer.update(frontend, force=True)
         print(f"Live viewer final state: {viewer.path} ({viewer.last_stats})")
-    return 0
+    return 130 if interrupted["flag"] else 0  # 130 = interrupted, by convention
 
 
 if __name__ == "__main__":
