@@ -52,9 +52,11 @@ def bench_step(capacity, window, n_unique, mfu=False, num_levels=1, family="orb"
     params = StepParams.from_config(config)
     from vision_slam_frontend_tpu.ops.descriptors import get_family
 
+    fam = get_family(family)
     state = WindowState.create(
         window, capacity, config.stereo_threshold_init,
-        words=get_family(family).words,
+        words=fam.words,
+        desc_dtype=jnp.float32 if fam.distance == "l2" else jnp.uint32,
     )
 
     frames = _frames(rig, n_unique + 3)

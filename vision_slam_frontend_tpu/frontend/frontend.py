@@ -62,9 +62,13 @@ class Frontend:
         self._params = StepParams.from_config(config)
         from vision_slam_frontend_tpu.ops.descriptors import get_family
 
+        fam = get_family(config.descriptor_family)
+        import jax.numpy as _jnp
+
         self._state = WindowState.create(
             config.frame_life, config.max_features, config.stereo_threshold_init,
-            words=get_family(config.descriptor_family).words,
+            words=fam.words,
+            desc_dtype=_jnp.float32 if fam.distance == "l2" else _jnp.uint32,
         )
         self._curr_frame_id = 0
 

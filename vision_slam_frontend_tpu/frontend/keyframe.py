@@ -94,10 +94,13 @@ class WindowState:
         capacity: int,
         stereo_threshold_init: float,
         words: int = 8,
+        desc_dtype=jnp.uint32,
     ) -> "WindowState":
+        """`words` is the descriptor width: packed uint32 words for Hamming
+        families, float dims for L2 families (desc_dtype=jnp.float32)."""
         return cls(
             kps=jnp.zeros((window, capacity, 2), jnp.float32),
-            desc=jnp.zeros((window, capacity, words), jnp.uint32),
+            desc=jnp.zeros((window, capacity, words), desc_dtype),
             valid=jnp.zeros((window, capacity), bool),
             track_id=jnp.zeros((window, capacity), jnp.int32),
             frame_id=jnp.full((window,), -1, jnp.int32),

@@ -88,6 +88,13 @@ def _register_builtins() -> None:
     register_family(
         "akaze", detect_and_describe_akaze, distance="hamming", words=16
     )
+    # SIFT-class float family — the reference's NORM_L2 extractor branch
+    # (SURF/SIFT/FREAK behind USE_XFEATURES, src/slam_frontend.cc:222-247):
+    # 128-d gradient-histogram descriptors, squared-L2 MXU matching. `words`
+    # is the float dimensionality for L2 families.
+    from vision_slam_frontend_tpu.ops.sift import detect_and_describe_sift
+
+    register_family("sift", detect_and_describe_sift, distance="l2", words=128)
 
 
 _register_builtins()

@@ -98,6 +98,36 @@ def hamming_distance_matrix(
     return pop_q[..., :, None] + pop_t[None, :] - 2.0 * cross
 
 
+def _compensated_cross(q: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """q @ t.T with hi/lo-split bf16 operands, f32 accumulation.
+
+    For {0,1} bit rows bf16 is already exact; for float descriptors (the L2
+    families) a single bf16 pass rounds ~2^-8 relative — enough to flip
+    near-tie nearest-neighbour ranks. Three MXU passes (hi.hi + hi.lo +
+    lo.hi) recover ~16-bit input precision, same trick as the BA coupling
+    (backend/ba._bbt_compensated)."""
+    hq = q.astype(jnp.bfloat16)
+    lq = (q - hq.astype(jnp.float32)).astype(jnp.bfloat16)
+    ht = t.astype(jnp.bfloat16)
+    lt = (t - ht.astype(jnp.float32)).astype(jnp.bfloat16)
+    dot = lambda a, b: lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return dot(hq, ht) + dot(hq, lt) + dot(lq, ht)
+
+
+def l2_sq_distance_matrix(feat_q: jnp.ndarray, feat_t: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise SQUARED-L2 distances between float descriptor matrices, as
+    ||a||^2 + ||b||^2 - 2ab^T on the MXU — the identity the Hamming matmul is
+    a special case of (popcount IS the squared norm of a {0,1} vector).
+
+    The reference's BFMatcher(NORM_L2) branch for SURF/SIFT/FREAK
+    (src/slam_frontend.cc:225,231)."""
+    nq = jnp.sum(feat_q * feat_q, axis=-1)
+    nt = jnp.sum(feat_t * feat_t, axis=-1)
+    return nq[:, None] + nt[None, :] - 2.0 * _compensated_cross(feat_q, feat_t)
+
+
 def knn2_match(
     dist: jnp.ndarray, valid_t: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -127,34 +157,40 @@ def knn2_match(
 
 
 def _knn2_match_streamed(
-    bits_q: jnp.ndarray,
-    bits_t: jnp.ndarray,
+    feat_q: jnp.ndarray,
+    feat_t: jnp.ndarray,
     valid_t: jnp.ndarray,
     block: int = 1024,
+    compensated: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Blocked top-2 Hamming match: never materializes the (Kq, Kt) matrix.
+    """Blocked top-2 match: never materializes the (Kq, Kt) matrix.
 
     At K=8192 the full window distance matrix is (W*K, K) f32 = 2.7 GB of
     HBM traffic per extra pass; streaming the train axis in `block`-column
     tiles keeps the working set at (Kq, block) and folds the top-2 merge
     into a lax.scan — the flash-attention-style formulation of kNN.
 
+    Works for unpacked {0,1} bit rows (Hamming) AND float descriptor rows
+    (squared L2): both are ||a||^2 + ||b||^2 - 2ab^T, since popcount is the
+    squared norm of a bit vector. Pass compensated=True for float rows
+    (hi/lo bf16 cross term; bits are bf16-exact without it).
+
     Args:
-      bits_q: (Kq, 256) unpacked {0,1} queries.
-      bits_t: (Kt, 256) unpacked {0,1} trains; Kt must divide by `block`.
+      feat_q: (Kq, D) queries.
+      feat_t: (Kt, D) trains; Kt must divide by `block`.
       valid_t: (Kt,) bool.
 
     Returns:
       (best_idx (Kq,) int32, best_dist (Kq,), second_dist (Kq,)).
     """
-    Kq, D = bits_q.shape
-    Kt = bits_t.shape[0]
+    Kq, D = feat_q.shape
+    Kt = feat_t.shape[0]
     assert Kt % block == 0, (Kt, block)
     nb = Kt // block
-    bq = bits_q.astype(jnp.bfloat16)
-    pop_q = jnp.sum(bits_q, axis=-1)
-    bt_blocks = bits_t.astype(jnp.bfloat16).reshape(nb, block, D)
-    pop_t = jnp.sum(bits_t, axis=-1).reshape(nb, block)
+    bq = feat_q.astype(jnp.bfloat16)
+    pop_q = jnp.sum(feat_q * feat_q, axis=-1)
+    bt_blocks = feat_t.reshape(nb, block, D)
+    pop_t = jnp.sum(feat_t * feat_t, axis=-1).reshape(nb, block)
     v_blocks = valid_t.reshape(nb, block)
     base = (jnp.arange(nb) * block).astype(jnp.int32)
     cols = jnp.arange(block)
@@ -162,10 +198,13 @@ def _knn2_match_streamed(
     def body(carry, blk):
         d1, d2, i1 = carry
         btb, ptb, vb, b0 = blk
-        cross = lax.dot_general(
-            bq, btb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if compensated:
+            cross = _compensated_cross(feat_q, btb)
+        else:
+            cross = lax.dot_general(
+                bq, btb.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         d = pop_q[:, None] + ptb[None, :] - 2.0 * cross
         d = jnp.where(vb[None, :], d, _LARGE)
         bi = jnp.argmin(d, axis=1)
@@ -195,6 +234,32 @@ def _knn2_match_streamed(
 # materializing (Kq, Kt) in HBM (measured crossover on v5e: BASELINE.md).
 _STREAM_THRESHOLD = 2048
 
+# Any REAL L2 descriptor distance is far below this (normalized SIFT-class
+# vectors have d <= 2); the no-valid-train sentinel is sqrt(_LARGE) ~ 3e4.
+_L2_MAX_REAL = 1e4
+
+
+def _l2_knn2(
+    desc_q: jnp.ndarray, desc_t: jnp.ndarray, valid_t: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """kNN(2) over float descriptors: (best_idx, d1, d2) with TRUE L2
+    distances (computed squared on the MXU, sqrt'd at the end — Kq scalars)."""
+    fq = desc_q.astype(jnp.float32)
+    ft = desc_t.astype(jnp.float32)
+    Kt = ft.shape[0]
+    if Kt > _STREAM_THRESHOLD and Kt % 1024 == 0:
+        best_idx, d1, d2 = _knn2_match_streamed(fq, ft, valid_t, compensated=True)
+    else:
+        dist = l2_sq_distance_matrix(fq, ft)
+        best_idx, d1, d2 = knn2_match(dist, valid_t)
+    # Masked/sentinel entries stay huge through the sqrt; clamp tiny negative
+    # rounding from the compensated cross term.
+    return (
+        best_idx,
+        jnp.sqrt(jnp.maximum(d1, 0.0)),
+        jnp.sqrt(jnp.maximum(d2, 0.0)),
+    )
+
 
 @jax.jit
 def ratio_test_match(
@@ -220,6 +285,17 @@ def ratio_test_match(
       dist: (Kq,) float32 match distance (+LARGE where invalid).
       matched: (Kq,) bool.
     """
+    if jnp.issubdtype(desc_q.dtype, jnp.floating):
+        # Float-descriptor family (distance="l2"): the reference's
+        # BFMatcher(NORM_L2) branch. Squared-L2 on the MXU, sqrt'd so the
+        # ratio test keeps the reference's NORM_L2 semantics.
+        best_idx, d1, d2 = _l2_knn2(desc_q, desc_t, valid_t)
+        matched = valid_q & (d1 < ratio * d2) & (d1 <= _L2_MAX_REAL)
+        return (
+            jnp.where(matched, best_idx, 0),
+            jnp.where(matched, d1, _LARGE),
+            matched,
+        )
     if _use_pallas(
         desc_q.shape[0], desc_t.shape[0], site="stereo", words=desc_q.shape[1]
     ):
@@ -312,6 +388,25 @@ def match_window(
       matched: (W, K) bool (ratio test + per-frame best-percent cut applied).
     """
     W, K, _ = desc_window.shape
+    if jnp.issubdtype(desc_curr.dtype, jnp.floating):
+        # Float-descriptor family: one (W*K)-query L2 kNN over the shared
+        # current-frame train set, then the same ratio/best-percent cuts.
+        i_f, d1_f, d2_f = _l2_knn2(
+            desc_window.reshape(W * K, -1), desc_curr, valid_curr
+        )
+        best_idx = i_f.reshape(W, K)
+        d1 = d1_f.reshape(W, K)
+        d2 = d2_f.reshape(W, K)
+        matched = valid_window & (d1 < ratio * d2) & (d1 <= _L2_MAX_REAL)
+        d1m = jnp.where(matched, d1, _LARGE)
+        keep = jax.vmap(lambda d, m: best_percent_mask(d, m, best_percent))(
+            d1m, matched
+        )
+        return (
+            jnp.where(keep, best_idx, 0),
+            jnp.where(keep, d1, _LARGE),
+            keep,
+        )
     if _use_pallas(
         W * K, desc_curr.shape[0], site="window", words=desc_curr.shape[1]
     ):
