@@ -77,7 +77,8 @@ def collective_volume(hlo_text: str) -> dict:
     by_op: dict[str, int] = {}
     once = 0
     loop = 0
-    count = 0
+    count_once = 0
+    count_loop = 0
     current = ""
     for line in hlo_text.splitlines():
         s = line.strip()
@@ -89,16 +90,58 @@ def collective_volume(hlo_text: str) -> dict:
         b = _shape_bytes(m.group(1))
         op = m.group(2)
         by_op[op] = by_op.get(op, 0) + b
-        count += 1
         if current in loop_bodies:
             loop += b
+            count_loop += 1
         else:
             once += b
+            count_once += 1
     return {
         "once_bytes": once,
         "loop_bytes": loop,
-        "count": count,
+        "count": count_once + count_loop,
+        "count_once": count_once,
+        "count_loop": count_loop,
         "by_op": by_op,
+    }
+
+
+def predict_efficiency(
+    T_c: float,
+    bytes_per_iter: float,
+    collectives_per_iter: float,
+    n: int,
+    bandwidth: float,
+    hop_latency: float,
+) -> dict:
+    """Latency-aware ring-collective scaling prediction.
+
+    Per iteration over n devices, a ring all-reduce of B payload bytes moves
+    ~2B(n-1)/n bytes per device (bandwidth term) and takes 2(n-1) sequential
+    hops (latency term). With c SEQUENTIAL collectives per iteration (a PCG
+    iteration with cg CG steps issues ~cg of them — one all-reduce per S
+    apply — each on the critical path),
+
+        t_comm(n) = 2 B (n-1)/n / W  +  c * 2 (n-1) * alpha
+        eff(n)    = 1 / (1 + n * t_comm / T_c)
+
+    where T_c is the measured SINGLE-chip iteration time (so T_c/n is the
+    ideal n-way compute time). The latency term is what the round-3 model
+    omitted: obs-sharded PCG at cg=32 issues ~33 all-reduces per LM
+    iteration, which at DCN-class alpha ~ 25 us costs ~1.7 ms/iter at n=2 —
+    the bandwidth term alone under-counts cross-host cost.
+
+    Args: bandwidth in bytes/s, hop_latency in seconds.
+    """
+    t_bw = 2.0 * bytes_per_iter * (n - 1) / n / bandwidth
+    t_lat = collectives_per_iter * 2.0 * (n - 1) * hop_latency
+    t_comm = t_bw + t_lat
+    return {
+        "n": n,
+        "t_bw_s": t_bw,
+        "t_lat_s": t_lat,
+        "t_comm_s": t_comm,
+        "efficiency": 1.0 / (1.0 + n * t_comm / max(T_c, 1e-12)),
     }
 
 
@@ -145,6 +188,7 @@ def report_modes(n_devices: int = 8, P: int = 256, L: int = 8192, obs: int = 5):
     vol.update(
         mode="obs_sharded_pcg", P=P, L=L, N=L * obs, cg_iters=cg_iters,
         total_bytes_per_lm_iter=vol["once_bytes"] + cg_iters * vol["loop_bytes"],
+        collectives_per_lm_iter=vol["count_once"] + cg_iters * vol["count_loop"],
     )
     results.append(vol)
 
@@ -172,29 +216,70 @@ def report_modes(n_devices: int = 8, P: int = 256, L: int = 8192, obs: int = 5):
     vol2.update(mode="lm_sharded_dense", P=P, L=L, N=L * obs)
     results.append(vol2)
 
-    # --- Mode 3: segment-parallel (pose-chain sharded). Its per-sweep
-    # device program is embarrassingly parallel (per-segment dense LMs run
-    # under vmap with segment-sharded batch); the cross-segment steps
-    # (junction alignment, landmark refit) are host-coordinated small
-    # programs. Compile the batched inner iteration and count.
-    from vision_slam_frontend_tpu.backend.ba import BASolverConfig
+    # --- Mode 3: segment-parallel (pose-chain sharded). EXTRACTED, not
+    # asserted: compile the real segment-sharded sweep iteration (vmapped
+    # per-segment dense LM + batched cost, segment axis sharded over the
+    # mesh) and the global landmark refit, and count their collectives; the
+    # junction-alignment exchange is computed from the problem's actual
+    # junction/tie counts (it is a host-coordinated gather of those rows in
+    # this implementation, so it appears as data volume, not HLO collectives).
+    from vision_slam_frontend_tpu.backend.ba import (
+        _apply_step,
+        _solve_schur_dense,
+        compute_cost,
+        refit_landmarks,
+    )
     from vision_slam_frontend_tpu.parallel.segment_ba import build_segments
 
-    stacked, info = build_segments(problem, max(2, n_devices // 4))
-    # The inner per-segment LM is compiled inside optimize_segments; its
-    # sharding carries no cross-segment collectives by construction. Record
-    # that as an analytic zero with the alignment exchange estimated from
-    # shapes: per sweep, each segment ships its junction poses (2 x 7 floats)
-    # + per-segment rigid correction (7 floats) — O(n_seg * 100 B).
+    n_seg = n_devices
+    stacked, info = build_segments(problem, n_seg)
+    seg_shard = NamedSharding(mesh, Pspec("data"))
+    stacked_dev = jax.tree.map(
+        lambda x: jax.device_put(x, seg_shard) if hasattr(x, "ndim") and x.ndim else x,
+        stacked,
+    )
+    lam_v = jax.device_put(jnp.full(n_seg, 1e-3, jnp.float32), seg_shard)
+
+    def sweep_iter(st, la):
+        def per_seg(p, l):
+            r, Jp, Jl, ro, Ji, Jj = _linearize(cam, p, hd, wt, wr, True)
+            d_pose, d_lm, _ = _solve_schur_dense(r, Jp, Jl, ro, Ji, Jj, p, l, False)
+            return _apply_step(p, d_pose, d_lm)
+
+        cand = jax.vmap(per_seg)(st, la)
+        cost = jax.vmap(lambda p: compute_cost(cam, p, hd, wt, wr, True))(cand)
+        return cand, cost
+
+    compiled3 = jax.jit(sweep_iter).lower(stacked_dev, lam_v).compile()
+    vol3 = collective_volume(compiled3.as_text())
+
+    compiled_refit = (
+        jax.jit(lambda p: refit_landmarks(cam, p, hd, 2, True))
+        .lower(problem)
+        .compile()
+    )
+    vol_refit = collective_volume(compiled_refit.as_text())
+
+    # Alignment exchange (host-coordinated): per sweep, each junction factor
+    # ships its two endpoint poses (2 x 28 B), each landmark tie its two
+    # copies (2 x 12 B), and the solved per-segment corrections broadcast
+    # back (24 B each).
+    align_bytes = (
+        len(info["jn_a"]) * 2 * 28
+        + len(info["tie_a"]) * 2 * 12
+        + n_seg * 24
+    )
     results.append({
         "mode": "segment_parallel",
-        "P": P, "L": L, "N": L * obs,
-        "total_bytes": 0,
-        "count": 0,
-        "by_op": {},
-        "note": "per-segment dense LMs are collective-free (segment-sharded "
-        "vmap); cross-segment junction alignment exchanges O(n_seg * 100 B) "
-        "per sweep on the host path",
+        "P": P, "L": L, "N": L * obs, "n_seg": n_seg,
+        "sweep_iter_collectives": {
+            k: vol3[k] for k in ("once_bytes", "loop_bytes", "count", "by_op")
+        },
+        "refit_collectives": {
+            k: vol_refit[k] for k in ("once_bytes", "loop_bytes", "count", "by_op")
+        },
+        "align_exchange_bytes_per_sweep": align_bytes,
+        "total_bytes_per_sweep_iter": vol3["once_bytes"],
     })
     return results
 
@@ -208,8 +293,22 @@ def main() -> None:
     jax.config.update("jax_platforms", "cpu")
     P = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     L = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
+    T_c = float(sys.argv[3]) if len(sys.argv) > 3 else 0.3  # measured 1-chip s/iter
     for r in report_modes(P=P, L=L):
         print(json.dumps(r))
+        if r.get("mode") == "obs_sharded_pcg":
+            B = r["total_bytes_per_lm_iter"]
+            c = r["collectives_per_lm_iter"]
+            preds = {
+                "dcn_2hosts_10GBps_25us": predict_efficiency(T_c, B, c, 2, 10e9, 25e-6),
+                "dcn_4hosts_10GBps_25us": predict_efficiency(T_c, B, c, 4, 10e9, 25e-6),
+                "ici_8chips_45GBps_1us": predict_efficiency(T_c, B, c, 8, 45e9, 1e-6),
+            }
+            print(json.dumps({
+                "mode": "obs_sharded_pcg_predictions",
+                "T_c_s": T_c,
+                **{k: {kk: round(vv, 6) for kk, vv in v.items()} for k, v in preds.items()},
+            }))
 
 
 if __name__ == "__main__":
