@@ -334,7 +334,7 @@ class TestDescriptorRegistry:
         from vision_slam_frontend_tpu.frontend.config import FrontendConfig
 
         with pytest.raises(ValueError, match="unknown descriptor family"):
-            FrontendConfig(descriptor_family="sift")
+            FrontendConfig(descriptor_family="surf64")
 
     def test_registered_family_drives_keyframe_step(self):
         """A newly registered family is reachable through the jitted keyframe

@@ -178,9 +178,13 @@ def compute_orientations(image: jnp.ndarray, keypoints: jnp.ndarray, valid: jnp.
     TPU-native formulation: extract the 31x31 patch per keypoint (one
     coalesced slab-gather), then the circular-disk moments m10/m01 are a
     single (K, 961) x (961, 2) matvec on the MXU — ORB's exact circular
-    window, no whole-image moment maps.
+    window, no whole-image moment maps. Intensities are quantized to 8 bit
+    first (OpenCV computes moments on the uint8 image; keeps this
+    bit-identical to the fused orient_and_describe path).
     """
-    patches = extract_patches(image.astype(jnp.float32), keypoints)
+    patches = extract_patches(
+        jnp.clip(jnp.round(image.astype(jnp.float32)), 0.0, 255.0), keypoints
+    )
     w = jnp.stack([jnp.asarray(_MOMENT_WX), jnp.asarray(_MOMENT_WY)], axis=1)
     m = patches @ w  # (K, 2): m10, m01
     theta = jnp.arctan2(m[:, 1], m[:, 0])
@@ -267,6 +271,13 @@ def brief_describe(
         method = "mxu" if jax.default_backend() == "tpu" else "gather"
     H, W = image_blurred.shape
     bins = quantize_angle(orientations)  # (K,)
+    # Descriptor bits compare 8-BIT smoothed intensities, exactly like
+    # OpenCV ORB (whose GaussianBlur output is uint8). Quantizing here keeps
+    # both methods bit-identical to each other AND to the fused
+    # orient_and_describe path (which gathers uint8 patches — the slab
+    # gather is issue-bound with a payload-size component, and the u8
+    # payload is its one measured lever on this toolchain: BASELINE.md r4).
+    image_q = jnp.clip(jnp.round(image_blurred), 0.0, 255.0)
 
     if method == "gather":
         offs = jnp.asarray(_ROT_PATTERNS)[bins]  # (K, 256, 2, 2) int32
@@ -274,11 +285,11 @@ def brief_describe(
         ky = jnp.round(keypoints[:, 1]).astype(jnp.int32)
         xi = jnp.clip(kx[:, None, None] + offs[..., 0], 0, W - 1)
         yi = jnp.clip(ky[:, None, None] + offs[..., 1], 0, H - 1)
-        vals = image_blurred.reshape(-1)[yi * W + xi]  # (K, 256, 2)
+        vals = image_q.reshape(-1)[yi * W + xi]  # (K, 256, 2)
         bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)  # (K, 256)
     else:
-        patches = extract_patches(image_blurred, keypoints)  # (K, 961)
-        bits = _describe_bits_mxu(patches, bins)
+        patches = extract_patches(image_q, keypoints)  # (K, 961)
+        bits = _describe_bits_mxu(patches, bins, integer_inputs=True)
     packed = pack_bits(bits)
     return jnp.where(valid[:, None], packed, jnp.uint32(0))
 
@@ -301,7 +312,9 @@ def _rotate_patches_90(patches: jnp.ndarray, quad: jnp.ndarray) -> jnp.ndarray:
     return sel.reshape(K, PATCH_AREA)
 
 
-def _describe_bits_mxu(patches: jnp.ndarray, bins: jnp.ndarray) -> jnp.ndarray:
+def _describe_bits_mxu(
+    patches: jnp.ndarray, bins: jnp.ndarray, integer_inputs: bool = False
+) -> jnp.ndarray:
     """Steered-BRIEF bits from flat patches via the quadrant-factored one-hot
     matmul: rotate the patch by the bin's 90deg quadrant (exact permutation),
     then evaluate only the NUM_FINE fine-rotation patterns as one
@@ -319,14 +332,21 @@ def _describe_bits_mxu(patches: jnp.ndarray, bins: jnp.ndarray) -> jnp.ndarray:
     D = (pix == a[None, :]).astype(jnp.bfloat16) - (pix == b[None, :]).astype(
         jnp.bfloat16
     )  # (961, NUM_FINE*256)
-    # Hi/lo bf16 split: bf16 would round patch values by up to ~0.5
-    # intensity units and flip near-tie bits vs the gather path; two
-    # matmuls with f32 accumulation recover ~16-bit input precision, so
-    # both methods produce identical bits (2x MXU work, still ~0.1 ms).
-    hi = prot.astype(jnp.bfloat16)
-    lo = (prot - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    dot = lambda x: jax.lax.dot(x, D, preferred_element_type=jnp.float32)
-    diff = (dot(hi) + dot(lo)).reshape(-1, NUM_FINE, NUM_BITS)
+    if integer_inputs:
+        # 8-bit intensities are EXACT in bf16 (integers <= 256 fit the
+        # 8-bit mantissa): one matmul, no compensation needed.
+        diff = jax.lax.dot(
+            prot.astype(jnp.bfloat16), D, preferred_element_type=jnp.float32
+        ).reshape(-1, NUM_FINE, NUM_BITS)
+    else:
+        # Hi/lo bf16 split: bf16 would round patch values by up to ~0.5
+        # intensity units and flip near-tie bits vs the gather path; two
+        # matmuls with f32 accumulation recover ~16-bit input precision, so
+        # both methods produce identical bits (2x MXU work, still ~0.1 ms).
+        hi = prot.astype(jnp.bfloat16)
+        lo = (prot - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dot = lambda x: jax.lax.dot(x, D, preferred_element_type=jnp.float32)
+        diff = (dot(hi) + dot(lo)).reshape(-1, NUM_FINE, NUM_BITS)
     mine = jnp.take_along_axis(diff, fine[:, None, None], axis=1)[:, 0, :]
     return (mine < 0).astype(jnp.uint32)  # (K, 256)
 
@@ -377,8 +397,17 @@ def orient_and_describe(
     Stacking both as channels and extracting once halves that traffic; the
     outputs are bit-identical to the two-call composition (mxu method).
 
+    The stacked patches are gathered as uint8 (both channels quantized like
+    OpenCV ORB, whose blurred source image IS uint8): the slab gather is
+    issue-bound on this toolchain (~1.5 us/slab regardless of 15x15 vs
+    31x31, sort order, or layout — probe_gather_variants.py) and the u8
+    payload is its one measured lever (17.0 -> 13.8 ms at K=8192); 8-bit
+    values are also exact in bf16, halving the describe matmul.
+
     Returns (orientations (K,) f32, descriptors (K, 8) uint32).
     """
+    img_q = jnp.clip(jnp.round(image.astype(jnp.float32)), 0.0, 255.0)
+    blur_q = jnp.clip(jnp.round(image_blurred.astype(jnp.float32)), 0.0, 255.0)
     if _use_pallas_patches(keypoints.shape[0], 2 * image.size * 4):
         # VMEM-resident extraction: the slab gather is transaction-bound in
         # HBM; the Pallas kernel keeps the whole image in VMEM and pays zero
@@ -388,24 +417,17 @@ def orient_and_describe(
             extract_patches_vmem,
         )
 
-        out = extract_patches_vmem(
-            jnp.stack(
-                [image.astype(jnp.float32), image_blurred.astype(jnp.float32)]
-            ),
-            keypoints,
-        )  # (K, 2, 961)
-        p_orient, p_desc = out[:, 0], out[:, 1]
+        out = extract_patches_vmem(jnp.stack([img_q, blur_q]), keypoints)
+        p_orient, p_desc = out[:, 0], out[:, 1]  # (K, 961) each
     else:
-        stacked = jnp.stack(
-            [image.astype(jnp.float32), image_blurred.astype(jnp.float32)],
-            axis=-1,
-        )
-        patches2 = extract_patches(stacked, keypoints)  # (K, 961, 2)
+        stacked = jnp.stack([img_q, blur_q], axis=-1).astype(jnp.uint8)
+        patches2 = extract_patches(stacked, keypoints)  # (K, 961, 2) u8
+        patches2 = patches2.astype(jnp.float32)
         p_orient, p_desc = patches2[..., 0], patches2[..., 1]
     w = jnp.stack([jnp.asarray(_MOMENT_WX), jnp.asarray(_MOMENT_WY)], axis=1)
     m = jax.lax.dot(p_orient, w, preferred_element_type=jnp.float32)
     theta = jnp.where(valid, jnp.arctan2(m[:, 1], m[:, 0]), 0.0)
-    bits = _describe_bits_mxu(p_desc, quantize_angle(theta))
+    bits = _describe_bits_mxu(p_desc, quantize_angle(theta), integer_inputs=True)
     packed = pack_bits(bits)
     return theta, jnp.where(valid[:, None], packed, jnp.uint32(0))
 
