@@ -20,15 +20,20 @@ import numpy as np
 from vision_slam_frontend_tpu.utils import np_geom
 
 
-def make_texture(seed: int = 0, size: int = 1024) -> np.ndarray:
-    """High-contrast random-rectangle texture with mild noise (corner-rich)."""
+def make_texture(seed: int = 0, size: int = 1024, noise: float = 2.0) -> np.ndarray:
+    """High-contrast random-rectangle texture with micro-texture noise
+    (corner-rich). `noise` is the per-texel sigma: real surfaces (asphalt,
+    gravel, grass) carry several-intensity-unit micro-texture; the 2.0
+    default keeps historical fixtures, the golden-loop fixture uses a
+    realistic 6.0 so descriptor families aren't graded on sub-quantization
+    signal no 8-bit camera can deliver."""
     rng = np.random.default_rng(seed)
     tex = np.full((size, size), 120.0, np.float32)
     for _ in range(size):
         y, x = rng.integers(0, size - 32, 2)
         h, w = rng.integers(6, 32, 2)
         tex[y : y + h, x : x + w] = rng.uniform(10, 245)
-    tex += rng.normal(0, 2.0, tex.shape).astype(np.float32)
+    tex += rng.normal(0, noise, tex.shape).astype(np.float32)
     return np.clip(tex, 0, 255)
 
 
@@ -154,6 +159,7 @@ def generate_sequence(
     rig: SyntheticRig | None = None,
     seed: int = 0,
     odom_drift: float = 0.0,
+    texture_noise: float = 2.0,
 ) -> Iterator[StereoFrame]:
     """A forward-moving, slowly-yawing stereo trajectory over the plane.
 
@@ -167,7 +173,7 @@ def generate_sequence(
     odometry-derived trajectory drifts, reference: README.md:44).
     """
     rig = rig or SyntheticRig()
-    tex = make_texture(seed)
+    tex = make_texture(seed, noise=texture_noise)
     scene = PlaneScene.ground(tex)
     K = rig.K()
     rng = np.random.default_rng(seed + 12345)

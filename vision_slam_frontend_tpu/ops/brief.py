@@ -36,6 +36,17 @@ NUM_BINS = 32  # rotation quantization (OpenCV ORB quantizes to 30 steps)
 PATCH_SIZE = 2 * PATCH_RADIUS + 1  # 31
 PATCH_AREA = PATCH_SIZE * PATCH_SIZE  # 961
 
+# Patch-gather payload dtype. The 31x31 slab gather is issue-bound on this
+# toolchain with payload size its one lever (probe_gather_variants.py:
+# f32 17.0 -> u8 13.8 ms at K=8192) — but u8 quantization of the BLURRED
+# image costs real accuracy on low-contrast imagery (the golden-loop world
+# has 93% of blurred gradients < 1 intensity unit; u8 sampling sent its BA
+# ATE 0.14 -> 1.42). float16 keeps ~0.06-unit precision at intensity 100
+# (10 mantissa bits) for the same 2-byte payload. Values are cast back to
+# f32 before any arithmetic; the hi/lo bf16 describe matmul preserves the
+# sampled precision exactly.
+PATCH_DTYPE = jnp.float16
+
 
 def brief_pattern(seed: int = 7, num_bits: int = NUM_BITS, radius: int = PATCH_RADIUS) -> np.ndarray:
     """Deterministic BRIEF sampling pattern: (num_bits, 2, 2) float32.
@@ -178,12 +189,13 @@ def compute_orientations(image: jnp.ndarray, keypoints: jnp.ndarray, valid: jnp.
     TPU-native formulation: extract the 31x31 patch per keypoint (one
     coalesced slab-gather), then the circular-disk moments m10/m01 are a
     single (K, 961) x (961, 2) matvec on the MXU — ORB's exact circular
-    window, no whole-image moment maps. Intensities are quantized to 8 bit
-    first (OpenCV computes moments on the uint8 image; keeps this
-    bit-identical to the fused orient_and_describe path).
+    window, no whole-image moment maps. Intensities pass through PATCH_DTYPE
+    (the gather payload precision) to stay bit-identical to the fused
+    orient_and_describe path.
     """
     patches = extract_patches(
-        jnp.clip(jnp.round(image.astype(jnp.float32)), 0.0, 255.0), keypoints
+        image.astype(jnp.float32).astype(PATCH_DTYPE).astype(jnp.float32),
+        keypoints,
     )
     w = jnp.stack([jnp.asarray(_MOMENT_WX), jnp.asarray(_MOMENT_WY)], axis=1)
     m = patches @ w  # (K, 2): m10, m01
@@ -271,13 +283,10 @@ def brief_describe(
         method = "mxu" if jax.default_backend() == "tpu" else "gather"
     H, W = image_blurred.shape
     bins = quantize_angle(orientations)  # (K,)
-    # Descriptor bits compare 8-BIT smoothed intensities, exactly like
-    # OpenCV ORB (whose GaussianBlur output is uint8). Quantizing here keeps
-    # both methods bit-identical to each other AND to the fused
-    # orient_and_describe path (which gathers uint8 patches — the slab
-    # gather is issue-bound with a payload-size component, and the u8
-    # payload is its one measured lever on this toolchain: BASELINE.md r4).
-    image_q = jnp.clip(jnp.round(image_blurred), 0.0, 255.0)
+    # Pass the smoothed intensities through PATCH_DTYPE (the fused path's
+    # gather payload precision — see the constant's comment) so both methods
+    # stay bit-identical to each other and to orient_and_describe.
+    image_q = image_blurred.astype(PATCH_DTYPE).astype(jnp.float32)
 
     if method == "gather":
         offs = jnp.asarray(_ROT_PATTERNS)[bins]  # (K, 256, 2, 2) int32
@@ -289,7 +298,7 @@ def brief_describe(
         bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)  # (K, 256)
     else:
         patches = extract_patches(image_q, keypoints)  # (K, 961)
-        bits = _describe_bits_mxu(patches, bins, integer_inputs=True)
+        bits = _describe_bits_mxu(patches, bins)
     packed = pack_bits(bits)
     return jnp.where(valid[:, None], packed, jnp.uint32(0))
 
@@ -397,17 +406,18 @@ def orient_and_describe(
     Stacking both as channels and extracting once halves that traffic; the
     outputs are bit-identical to the two-call composition (mxu method).
 
-    The stacked patches are gathered as uint8 (both channels quantized like
-    OpenCV ORB, whose blurred source image IS uint8): the slab gather is
-    issue-bound on this toolchain (~1.5 us/slab regardless of 15x15 vs
-    31x31, sort order, or layout — probe_gather_variants.py) and the u8
-    payload is its one measured lever (17.0 -> 13.8 ms at K=8192); 8-bit
-    values are also exact in bf16, halving the describe matmul.
+    The stacked patches are gathered as PATCH_DTYPE (float16 by default):
+    the slab gather is issue-bound on this toolchain (~1.5 us/slab
+    regardless of 15x15 vs 31x31, sort order, or layout —
+    probe_gather_variants.py) with payload size its one lever, and f16
+    halves the payload while keeping ~0.06-intensity-unit precision (u8 was
+    measured faster still, but its 1-unit quantization collapsed descriptor
+    distinctiveness on low-contrast imagery — see PATCH_DTYPE's comment).
 
     Returns (orientations (K,) f32, descriptors (K, 8) uint32).
     """
-    img_q = jnp.clip(jnp.round(image.astype(jnp.float32)), 0.0, 255.0)
-    blur_q = jnp.clip(jnp.round(image_blurred.astype(jnp.float32)), 0.0, 255.0)
+    img_q = image.astype(jnp.float32)
+    blur_q = image_blurred.astype(jnp.float32)
     if _use_pallas_patches(keypoints.shape[0], 2 * image.size * 4):
         # VMEM-resident extraction: the slab gather is transaction-bound in
         # HBM; the Pallas kernel keeps the whole image in VMEM and pays zero
@@ -417,17 +427,20 @@ def orient_and_describe(
             extract_patches_vmem,
         )
 
-        out = extract_patches_vmem(jnp.stack([img_q, blur_q]), keypoints)
+        out = extract_patches_vmem(
+            jnp.stack([img_q, blur_q]).astype(PATCH_DTYPE).astype(jnp.float32),
+            keypoints,
+        )
         p_orient, p_desc = out[:, 0], out[:, 1]  # (K, 961) each
     else:
-        stacked = jnp.stack([img_q, blur_q], axis=-1).astype(jnp.uint8)
-        patches2 = extract_patches(stacked, keypoints)  # (K, 961, 2) u8
+        stacked = jnp.stack([img_q, blur_q], axis=-1).astype(PATCH_DTYPE)
+        patches2 = extract_patches(stacked, keypoints)  # (K, 961, 2)
         patches2 = patches2.astype(jnp.float32)
         p_orient, p_desc = patches2[..., 0], patches2[..., 1]
     w = jnp.stack([jnp.asarray(_MOMENT_WX), jnp.asarray(_MOMENT_WY)], axis=1)
     m = jax.lax.dot(p_orient, w, preferred_element_type=jnp.float32)
     theta = jnp.where(valid, jnp.arctan2(m[:, 1], m[:, 0]), 0.0)
-    bits = _describe_bits_mxu(p_desc, quantize_angle(theta), integer_inputs=True)
+    bits = _describe_bits_mxu(p_desc, quantize_angle(theta))
     packed = pack_bits(bits)
     return theta, jnp.where(valid[:, None], packed, jnp.uint32(0))
 
