@@ -65,23 +65,28 @@ def bench_step(capacity, window, n_unique, mfu=False, num_levels=1, family="orb"
         (
             np.clip(f.left, 0, 255).astype(np.uint8),
             np.clip(f.right, 0, 255).astype(np.uint8),
+            np.asarray(f.odom_translation, np.float32),
+            np.asarray(f.odom_rotation, np.float32),
         )
         for f in frames
     ]
 
-    def step(state, left, right, fid):
+    def step(state, left, right, fid, pt, pq):
         return keyframe_step(
             params, state, left, right, fid,
             capacity=capacity, window=window,
             border=config.detect_border, blur_sigma=config.blur_sigma,
             num_levels=num_levels, scale_factor=config.pyramid_scale,
             descriptor_family=family,
+            curr_pose_t=pt, curr_pose_q=pq,
         )
 
     # Warmup / compile.
     fid = 0
-    for left, right in images[:3]:
-        state, result = step(state, jnp.asarray(left), jnp.asarray(right), jnp.int32(fid))
+    for left, right, pt, pq in images[:3]:
+        state, result = step(
+            state, jnp.asarray(left), jnp.asarray(right), jnp.int32(fid), pt, pq
+        )
         fid += 1
     jax.block_until_ready(result)
 
@@ -96,8 +101,10 @@ def bench_step(capacity, window, n_unique, mfu=False, num_levels=1, family="orb"
     for _ in range(n_windows):
         t0 = time.perf_counter()
         for i in range(n_iters):
-            left, right = images[3 + (i % n_unique)]
-            state, result = step(state, jnp.asarray(left), jnp.asarray(right), jnp.int32(fid))
+            left, right, pt, pq = images[3 + (i % n_unique)]
+            state, result = step(
+                state, jnp.asarray(left), jnp.asarray(right), jnp.int32(fid), pt, pq
+            )
             fid += 1
         # device_get of a scalar forces true completion of the whole chained
         # window (block_until_ready reports dispatch-only on tunneled
@@ -113,9 +120,9 @@ def bench_step(capacity, window, n_unique, mfu=False, num_levels=1, family="orb"
             l, r_img = jnp.asarray(images[3][0]), jnp.asarray(images[3][1])
             compiled = (
                 jax.jit(
-                    lambda s, a, b, f: step(s, a, b, f),
+                    lambda s, a, b, f, pt, pq: step(s, a, b, f, pt, pq),
                 )
-                .lower(state, l, r_img, jnp.int32(fid))
+                .lower(state, l, r_img, jnp.int32(fid), images[3][2], images[3][3])
                 .compile()
             )
             flops = compiled.cost_analysis()["flops"]
@@ -164,6 +171,53 @@ def bench_frontend(capacity, window, n_unique, num_levels=1, family="orb"):
         best = min(best, time.perf_counter() - t0)
     assert n == n_iters, f"gate dropped frames: {n} != {n_iters}"
     return {"fps": n_iters / best}
+
+
+def bench_bag_pipeline(num_frames=150):
+    """Full production pipeline on the device: degraded JPEG bag -> bag scan
+    -> (native) decode -> decode-ahead prefetch -> frontend -> problem.
+
+    The number the reference's ProcessBagfile loop would be measured by
+    (src/slam_frontend_main.cc:236-328) — IO attached, not just the jitted
+    step. Runs the real CLI twice (first run pays the jit compile; the
+    second, with the in-process compile cache warm, is the steady-state
+    measurement a long bag would see).
+    """
+    import contextlib
+    import io as _io
+    import re
+    import tempfile
+
+    from vision_slam_frontend_tpu.cli.slam_frontend import main
+    from vision_slam_frontend_tpu.frontend.config import FrontendConfig
+    from vision_slam_frontend_tpu.io.degrade import write_degraded_bag
+    from vision_slam_frontend_tpu.io.synthetic import SyntheticRig
+
+    tmp = tempfile.mkdtemp(prefix="vsf_bench_bag_")
+    rig = SyntheticRig()  # 640x480, the flagship shape
+    bag = f"{tmp}/bench.bag"
+    write_degraded_bag(bag, rig=rig, num_frames=num_frames)
+    cfg = f"{tmp}/rig.yaml"
+    FrontendConfig(calib=rig.calib(), max_features=512, frame_life=10,
+                   fast_threshold=12.0).save(cfg)
+
+    def run(tag):
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = main(["--input", bag, "--output", f"{tmp}/out_{tag}.npz",
+                       "--config", cfg])
+        assert rc == 0, buf.getvalue()[-500:]
+        m = re.search(
+            r"\[perf\] (\d+) stereo frames, (\d+) keyframes in ([0-9.]+)s",
+            buf.getvalue(),
+        )
+        assert m, buf.getvalue()[-500:]
+        frames, kf, sec = int(m.group(1)), int(m.group(2)), float(m.group(3))
+        return {"frames": frames, "keyframes": kf,
+                "fps": round(frames / sec, 2)}
+
+    run("warm")  # compile
+    return run("bench")
 
 
 def pallas_parity_check():
@@ -240,6 +294,45 @@ def pallas_parity_check():
         return f"ERROR {type(e).__name__}: {e}"
 
 
+def regression_sweep() -> dict:
+    """Machine-checked pins of the headline operating points, emitted in the
+    default bench artifact so the driver-captured BENCH_r{N}.json catches a
+    regression of any prior-round win automatically (round-3 verdict item 6).
+
+    Rows: K=512 + K=8192 frontend step, BA dense + chunked-PCG LM iters/s at
+    P=500/L=100k/N=500k. `vs_r3` divides by the round-3 measured value
+    (BASELINE.md); rows without a round-3 number carry the round-4 pin.
+    """
+    out = {}
+    try:
+        v = bench_step(8192, 10, 6)["fps"]
+        out["frontend_fps_k8192"] = {"value": round(v, 2), "vs_r3": round(v / 30.5, 3)}
+    except Exception as e:  # record, don't kill the artifact
+        out["frontend_fps_k8192"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    try:
+        # End-to-end with IO attached: bag -> decode -> frontend (task 2).
+        out["e2e_bag_pipeline"] = bench_bag_pipeline()
+    except Exception as e:
+        out["e2e_bag_pipeline"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    import bench_ba
+
+    for solver, key, base, base_key in (
+        ("dense", "ba_dense_iters_per_sec", 2.263, "vs_r3"),
+        # Chunked at L=100k: exercises the multi-program path cheaply; the
+        # round-4 measured value is the pin (round 3 only benched L=500k).
+        ("pcg_chunked", "ba_pcg_chunked_iters_per_sec", None, "vs_r4"),
+    ):
+        try:
+            r = bench_ba._bench_config(500, 100_000, 5, solver, 32, n_iters=5)
+            row = {"value": r["iters_per_sec"]}
+            if base is not None:
+                row[base_key] = round(r["iters_per_sec"] / base, 3)
+            out[key] = row
+        except Exception as e:
+            out[key] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["step", "frontend"], default="step")
@@ -251,6 +344,8 @@ def main() -> None:
     ap.add_argument("--family", default="orb", help="descriptor family (orb, brisk)")
     ap.add_argument("--no-pallas-parity", action="store_true",
                     help="skip the on-chip Pallas parity pin")
+    ap.add_argument("--skip-sweep", action="store_true",
+                    help="headline only: skip the K=8192 + BA regression sweep")
     args = ap.parse_args()
 
     if args.mode == "frontend":
@@ -263,6 +358,8 @@ def main() -> None:
         metric = "stereo_frontend_fps_per_chip"
     if not args.no_pallas_parity:
         r["pallas_parity"] = pallas_parity_check()
+    if not args.skip_sweep and args.mode == "step" and args.k == 512:
+        r["sweep"] = regression_sweep()
     fps = r.pop("fps")
     print(
         json.dumps(

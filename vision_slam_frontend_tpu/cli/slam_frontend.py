@@ -104,6 +104,43 @@ def iter_euroc(path: str) -> Iterator[Event]:
     yield from iter_euroc_events(path)
 
 
+def prefetch_events(events: Iterator[Event], depth: int = 16) -> Iterator[Event]:
+    """Decode-ahead pipeline: run the event source (bag read + JPEG decode)
+    on a producer thread feeding a bounded queue.
+
+    The device keyframe step is dispatched asynchronously (the frontend's
+    1-deep result pipeline), so with a synchronous source the host sits in
+    JPEG decode while the TPU idles between dispatches. The native decoder
+    and file reads release the GIL, so one producer thread overlaps the
+    whole IO path with device compute — the TPU-side equivalent of the
+    reference's single-threaded ProcessBagfile loop
+    (src/slam_frontend_main.cc:271-328) but without its decode stall.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    DONE = object()
+
+    def producer():
+        try:
+            for ev in events:
+                q.put(ev)
+            q.put(DONE)
+        except BaseException as e:  # propagate into the consumer
+            q.put(e)
+
+    t = threading.Thread(target=producer, daemon=True, name="vsf-prefetch")
+    t.start()
+    while True:
+        item = q.get()
+        if item is DONE:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def detect_dataset(input_spec: str) -> str:
     import os
 
@@ -184,6 +221,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="sanitizer mode: check per-keyframe invariants (NaN/bounds/indices)",
     )
     p.add_argument(
+        "--no_prefetch", action="store_true",
+        help="disable the decode-ahead thread (bag reads + JPEG decode "
+        "overlap device compute by default)",
+    )
+    p.add_argument(
         "--interrupt_after", type=int, default=0, metavar="N",
         help="fault injection: raise SIGINT after N stereo frames "
         "(deterministic test of the graceful-interrupt path; 0 = off)",
@@ -239,6 +281,10 @@ def main(argv=None) -> int:
         events = iter_kitti(args.input, args.sequence)
     else:
         events = iter_euroc(args.input)
+    if dataset != "synthetic" and not args.no_prefetch:
+        # Overlap bag reads + JPEG decode with device compute (decode-ahead
+        # thread; the synthetic generator has no IO to hide).
+        events = prefetch_events(events)
 
     frontend = Frontend(config)
     frontend.verbosity = args.verbosity

@@ -69,6 +69,21 @@ class FrontendConfig:
     stereo_threshold_padding: float = 2.0       # running-average padding (src/slam_frontend.cc:392)
     debug_images: bool = False
     validate: bool = False                      # per-keyframe invariant checks (utils/checks.py)
+    # One-to-one temporal matching (OpenCV BFMatcher crossCheck analog the
+    # reference lacks): per (past frame, current feature) keep only the
+    # closest claimant. Kills the self-similar-texture failure where many
+    # past features lock onto one current feature and chain distinct
+    # physical points into a single track (ops/hamming._dedup_per_train).
+    mutual_check: bool = True
+    # Odometry-guided temporal match gate (pixels; <= 0 disables): a window
+    # feature's stereo 3D point, carried through relative odometry into the
+    # current frame, must reproject within this radius of its matched pixel.
+    # The production-SLAM guided-matching step the reference lacks — kills
+    # descriptor-plausible but geometrically impossible matches that chain
+    # distinct physical points into one track and poison BA. The radius
+    # absorbs odometry drift over the window (~f * drift*W / depth) plus
+    # triangulation noise.
+    guided_match_radius: float = 40.0
 
     # --- descriptor family (the reference's six-way extractor switch,
     # src/slam_frontend.cc:188-248; this framework registers the ORB family —

@@ -160,6 +160,12 @@ class Frontend:
             )
         self._last_image_shape = shape
         fid = self._curr_frame_id
+        # Odometry-estimated world pose of THIS keyframe (same formula the
+        # accumulator uses for the node pose, src/slam_frontend.cc:444-446) —
+        # feeds the device step's odometry-guided match gate.
+        q_init_inv = np_geom.quat_inverse(self._init_odom_q)
+        pose_t = np_geom.quat_rotate(q_init_inv, self._odom_t - self._init_odom_t)
+        pose_q = np_geom.quat_multiply(self._odom_q, q_init_inv)
         # Ship images as uint8 (4x less host->device traffic than float32);
         # the device step casts to f32 on-chip.
         self._state, result = keyframe_step(
@@ -175,6 +181,9 @@ class Frontend:
             num_levels=self.config.num_levels,
             scale_factor=self.config.pyramid_scale,
             descriptor_family=self.config.descriptor_family,
+            mutual_check=self.config.mutual_check,
+            curr_pose_t=pose_t.astype(np.float32),
+            curr_pose_q=pose_q.astype(np.float32),
         )
         # Host context the deferred accumulation needs (odometry snapshot at
         # THIS keyframe; raw images only when debug images are on).
@@ -348,6 +357,9 @@ class Frontend:
                 "ckpt_window_frame_id": state.frame_id,
                 "ckpt_window_count": state.count,
                 "ckpt_stereo_threshold": state.stereo_threshold,
+                "ckpt_window_points3d": state.points3d,
+                "ckpt_window_pose_t": state.pose_t,
+                "ckpt_window_pose_q": state.pose_q,
                 "ckpt_curr_frame_id": np.int64(self._curr_frame_id),
                 "ckpt_odom_initialized": np.bool_(self._odom_initialized),
                 "ckpt_init_odom_t": self._init_odom_t,
@@ -394,6 +406,29 @@ class Frontend:
             frame_id=jnp_asarray(data["ckpt_window_frame_id"]),
             count=jnp_asarray(data["ckpt_window_count"]),
             stereo_threshold=jnp_asarray(data["ckpt_stereo_threshold"]),
+            # Round-4 fields; zero-filled for pre-round-4 checkpoints (the
+            # guided gate passes features without depth through).
+            points3d=jnp_asarray(
+                data.get(
+                    "ckpt_window_points3d",
+                    np.zeros(data["ckpt_window_kps"].shape[:2] + (3,), np.float32),
+                )
+            ),
+            pose_t=jnp_asarray(
+                data.get(
+                    "ckpt_window_pose_t",
+                    np.zeros((data["ckpt_window_kps"].shape[0], 3), np.float32),
+                )
+            ),
+            pose_q=jnp_asarray(
+                data.get(
+                    "ckpt_window_pose_q",
+                    np.tile(
+                        np.array([1.0, 0, 0, 0], np.float32),
+                        (data["ckpt_window_kps"].shape[0], 1),
+                    ),
+                )
+            ),
         )
         self._curr_frame_id = int(data["ckpt_curr_frame_id"])
         self._odom_initialized = bool(data["ckpt_odom_initialized"])

@@ -54,9 +54,13 @@ class StepParams:
     best_percent: Any  # scalar
     stereo_padding: Any  # scalar
     fast_threshold: Any  # scalar
+    cam_R: Any  # (3, 3) left-camera -> robot rotation
+    cam_t: Any  # (3,) left-camera -> robot translation
+    guided_radius: Any  # scalar px; <= 0 disables the guided match gate
 
     @classmethod
     def from_config(cls, config) -> "StepParams":
+        ext = jnp.asarray(config.left_cam_to_robot, jnp.float32)
         return cls(
             fundamental=jnp.asarray(config.fundamental),
             P_left=jnp.asarray(config.P_left),
@@ -67,6 +71,11 @@ class StepParams:
             best_percent=jnp.float32(config.best_percent),
             stereo_padding=jnp.float32(config.stereo_threshold_padding),
             fast_threshold=jnp.float32(config.fast_threshold),
+            cam_R=ext[:3, :3],
+            cam_t=ext[:3, 3],
+            guided_radius=jnp.float32(
+                getattr(config, "guided_match_radius", 0.0)
+            ),
         )
 
 
@@ -86,6 +95,9 @@ class WindowState:
     frame_id: Any  # (W,) i32, -1 for empty slots
     count: Any  # scalar i32: filled slots
     stereo_threshold: Any  # scalar f32
+    points3d: Any  # (W, K, 3) stereo-triangulated left-camera-frame points
+    pose_t: Any  # (W, 3) odometry world pose at each keyframe
+    pose_q: Any  # (W, 4) [w,x,y,z]
 
     @classmethod
     def create(
@@ -98,6 +110,7 @@ class WindowState:
     ) -> "WindowState":
         """`words` is the descriptor width: packed uint32 words for Hamming
         families, float dims for L2 families (desc_dtype=jnp.float32)."""
+        pose_q = jnp.zeros((window, 4), jnp.float32).at[:, 0].set(1.0)
         return cls(
             kps=jnp.zeros((window, capacity, 2), jnp.float32),
             desc=jnp.zeros((window, capacity, words), desc_dtype),
@@ -106,6 +119,9 @@ class WindowState:
             frame_id=jnp.full((window,), -1, jnp.int32),
             count=jnp.int32(0),
             stereo_threshold=jnp.float32(stereo_threshold_init),
+            points3d=jnp.zeros((window, capacity, 3), jnp.float32),
+            pose_t=jnp.zeros((window, 3), jnp.float32),
+            pose_q=pose_q,
         )
 
 
@@ -138,7 +154,7 @@ def _stable_partition(keep: jnp.ndarray) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "capacity", "window", "border", "blur_sigma", "num_levels",
-        "scale_factor", "descriptor_family",
+        "scale_factor", "descriptor_family", "mutual_check",
     ),
     donate_argnums=(1,),
 )
@@ -155,8 +171,16 @@ def keyframe_step(
     num_levels: int = 1,
     scale_factor: float = 1.4,
     descriptor_family: str = "orb",
+    mutual_check: bool = True,
+    curr_pose_t=None,
+    curr_pose_q=None,
 ):
-    """Process one stereo keyframe. Returns (new_state, KeyframeResult)."""
+    """Process one stereo keyframe. Returns (new_state, KeyframeResult).
+
+    `curr_pose_t`/`curr_pose_q` is the current odometry-estimated world pose
+    (the same values the host uses for the node pose); when given, the
+    odometry-guided match gate (5b) runs and the window carries per-feature
+    3D points + per-keyframe poses. None disables the gate."""
     K = capacity
     W = window
 
@@ -208,8 +232,40 @@ def keyframe_step(
     # src/slam_frontend.cc:424-434).
     w_idx, w_dist, w_matched = match_window(
         state.desc, state.valid, f_desc, f_valid,
-        params.nn_match_ratio, params.best_percent,
+        params.nn_match_ratio, params.best_percent, mutual=mutual_check,
     )
+
+    # Undistorted current pixels (also consumed by triangulation below).
+    lu = undistort_points(params.intr_left, f_kps)
+
+    # --- 5b. Odometry-guided geometric gate (production guided matching;
+    # the reference has none): each window feature's stereo 3D point,
+    # carried through relative odometry into the current camera, must
+    # reproject within guided_radius px of its matched pixel. Kills
+    # descriptor-plausible but geometrically impossible matches — the false
+    # tracks on self-similar texture that ratio/mutual tests cannot see and
+    # that poison BA. Features without a usable depth pass through.
+    if curr_pose_t is not None:
+        from vision_slam_frontend_tpu.geometry.rotation import quat_to_matrix
+
+        Rw = jax.vmap(quat_to_matrix)(state.pose_q)  # (W, 3, 3)
+        p_robot = (
+            jnp.einsum("ij,wkj->wki", params.cam_R, state.points3d)
+            + params.cam_t
+        )
+        X = jnp.einsum("wij,wkj->wki", Rw, p_robot) + state.pose_t[:, None]
+        Rc = quat_to_matrix(curr_pose_q)
+        xr = jnp.einsum("ji,wkj->wki", Rc, X - curr_pose_t)  # Rc^T (X - t)
+        pc = jnp.einsum("ji,wkj->wki", params.cam_R, xr - params.cam_t)
+        z = pc[..., 2]
+        zsafe = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+        proj_u = params.intr_left.fx * pc[..., 0] / zsafe + params.intr_left.cx
+        proj_v = params.intr_left.fy * pc[..., 1] / zsafe + params.intr_left.cy
+        target = lu[w_idx]  # (W, K, 2) matched current pixels, undistorted
+        err2 = (proj_u - target[..., 0]) ** 2 + (proj_v - target[..., 1]) ** 2
+        has_depth = (state.points3d[..., 2] > 0.1) & (z > 0.1)
+        ok = (err2 <= params.guided_radius**2) | ~has_depth
+        w_matched = w_matched & jnp.where(params.guided_radius > 0, ok, True)
 
     # --- 6. Track propagation (oldest-match-wins, then smallest distance).
     # Sort-free: one scatter-min of a combined priority (slot * 1000 + dist;
@@ -226,7 +282,6 @@ def keyframe_step(
 
     # --- 7. Triangulation on undistorted stereo pairs
     # (reference: Calculate3DPoints via cv::triangulatePoints).
-    lu = undistort_points(params.intr_left, f_kps)
     ru = undistort_points(params.intr_right, f_right_kps)
     points3d = triangulate_points(params.P_left, params.P_right, lu, ru)
     points3d = jnp.where(f_valid[:, None], points3d, 0.0)
@@ -251,6 +306,17 @@ def keyframe_step(
         frame_id=updated(state.frame_id, frame_id),
         count=jnp.minimum(state.count + 1, W),
         stereo_threshold=new_threshold,
+        points3d=updated(state.points3d, points3d),
+        pose_t=updated(
+            state.pose_t,
+            jnp.zeros(3, jnp.float32) if curr_pose_t is None
+            else jnp.asarray(curr_pose_t, jnp.float32),
+        ),
+        pose_q=updated(
+            state.pose_q,
+            jnp.asarray([1.0, 0, 0, 0], jnp.float32) if curr_pose_q is None
+            else jnp.asarray(curr_pose_q, jnp.float32),
+        ),
     )
 
     result = KeyframeResult(

@@ -112,3 +112,59 @@ class Degrader:
         x = x + rng_pix.normal(0.0, 1.0, x.shape).astype(np.float32) * sigma
 
         return np.clip(x, 0.0, 255.0)
+
+
+def write_degraded_bag(
+    path: str,
+    rig=None,
+    num_frames: int = 100,
+    odom_drift: float = 0.02,
+    jpeg_quality: int = 88,
+    yaw_rate: float = None,
+    seed: int = 9,
+    step: float = 0.25,
+):
+    """Render -> degrade -> JPEG -> ROS bag; returns {timestamp: gt_cam_pos}.
+
+    The production-pipeline fixture generator (used by the golden-bag
+    accuracy tests AND the end-to-end bag bench): the closest available
+    stand-in for the reference's real robot bag (reference: README.md:27-37).
+    """
+    from vision_slam_frontend_tpu.io import rosbag
+    from vision_slam_frontend_tpu.io.image import encode_jpeg
+    from vision_slam_frontend_tpu.io.synthetic import SyntheticRig, generate_sequence
+
+    if rig is None:
+        rig = SyntheticRig()
+    if yaw_rate is None:
+        yaw_rate = 2 * np.pi / 210
+    deg = Degrader(seed=seed)
+    gt = {}
+    with rosbag.BagWriter(path) as bag:
+        conn_l = bag.get_connection(
+            "/stereo/left/image_raw/compressed", "sensor_msgs/CompressedImage", "*", ""
+        )
+        conn_r = bag.get_connection(
+            "/stereo/right/image_raw/compressed", "sensor_msgs/CompressedImage", "*", ""
+        )
+        conn_o = bag.get_connection("/odometry/filtered", "nav_msgs/Odometry", "*", "")
+        frames = generate_sequence(
+            num_frames=num_frames, step=step, rig=rig,
+            yaw_rate=yaw_rate, odom_drift=odom_drift, seed=5,
+        )
+        for i, f in enumerate(frames):
+            gt[round(f.timestamp, 6)] = f.cam_pos.copy()
+            t_ns = int(f.timestamp * 1e9) + 1
+            bag.write(
+                conn_o, t_ns,
+                rosbag.serialize_odometry(i, t_ns, f.odom_translation, f.odom_rotation),
+            )
+            for conn, img, cam in ((conn_l, f.left, 0), (conn_r, f.right, 1)):
+                bag.write(
+                    conn, t_ns,
+                    rosbag.serialize_compressed_image(
+                        i, t_ns, "jpeg",
+                        encode_jpeg(deg(img, i, cam=cam), quality=jpeg_quality),
+                    ),
+                )
+    return gt

@@ -360,7 +360,26 @@ def best_percent_mask(
     return matched & keep & (num_good > 0)
 
 
-@partial(jax.jit, static_argnames=())
+def _dedup_per_train(best_idx, d1, keep):
+    """One-to-one cut: per (frame, train) keep only the closest query.
+
+    OpenCV BFMatcher's crossCheck analog, restricted to colliding claims
+    (the dominant failure on self-similar texture: many past features lock
+    onto the same strong current feature, chaining distinct physical points
+    into one union-find track — which poisons BA far beyond what
+    Huber/trimming absorb). Same scatter-min trick as the track-priority
+    scheme in frontend/keyframe.py; exact-distance ties keep both (rare,
+    harmless).
+    """
+    W, K = keep.shape
+    tgt = jnp.where(keep, best_idx, K)  # K = parked pad slot
+    flat = (tgt + jnp.arange(W, dtype=tgt.dtype)[:, None] * (K + 1)).reshape(-1)
+    dm = jnp.where(keep, d1, _LARGE).reshape(-1)
+    m = jnp.full((W * (K + 1),), _LARGE, d1.dtype).at[flat].min(dm)
+    return keep & (d1 <= m.reshape(-1)[flat].reshape(W, K))
+
+
+@partial(jax.jit, static_argnames=("mutual",))
 def match_window(
     desc_window: jnp.ndarray,
     valid_window: jnp.ndarray,
@@ -368,6 +387,7 @@ def match_window(
     valid_curr: jnp.ndarray,
     ratio: float,
     best_percent: float,
+    mutual: bool = False,
 ):
     """Match all W past frames against the current frame in one shot.
 
@@ -402,6 +422,8 @@ def match_window(
         keep = jax.vmap(lambda d, m: best_percent_mask(d, m, best_percent))(
             d1m, matched
         )
+        if mutual:
+            keep = _dedup_per_train(best_idx, d1, keep)
         return (
             jnp.where(keep, best_idx, 0),
             jnp.where(keep, d1, _LARGE),
@@ -443,6 +465,8 @@ def match_window(
     )
     d1m = jnp.where(matched, d1, _LARGE)
     keep = jax.vmap(lambda d, m: best_percent_mask(d, m, best_percent))(d1m, matched)
+    if mutual:
+        keep = _dedup_per_train(best_idx, d1, keep)
     return (
         jnp.where(keep, best_idx, 0),
         jnp.where(keep, d1, _LARGE),

@@ -39,6 +39,16 @@ def main(argv=None) -> int:
         "--cpu", action="store_true", default=True,
         help="force the CPU backend (the smoke default; real pods drop this)",
     )
+    ap.add_argument(
+        "--bench_iters", type=int, default=0,
+        help="after the smoke, time this many sharded LM iterations at the "
+        "--poses/--landmarks shape and print a MULTIHOST_BENCH line (the "
+        "measured cross-process point anchoring the analytic scaling model)",
+    )
+    ap.add_argument("--poses", type=int, default=128)
+    ap.add_argument("--landmarks", type=int, default=50_000)
+    ap.add_argument("--obs_per_lm", type=int, default=5)
+    ap.add_argument("--cg_iters", type=int, default=32)
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -116,6 +126,76 @@ def main(argv=None) -> int:
         ),
         flush=True,
     )
+
+    if args.bench_iters > 0:
+        # Measured multi-process point at a load-bearing shape: time the
+        # observation-sharded PCG LM iteration across the process boundary.
+        # Run the SAME command with --num_processes 1 --local_devices
+        # <2x as many> to get the equal-device single-process time; the
+        # difference is the measured cross-process collective+sync cost that
+        # anchors the analytic model's t_comm (parallel/comm_report.py).
+        import time
+
+        from bench_ba import make_problem
+        from vision_slam_frontend_tpu.backend.ba import (
+            _apply_step,
+            _linearize,
+            _solve_schur_pcg,
+        )
+        from vision_slam_frontend_tpu.parallel.comm_report import (
+            collective_volume,
+        )
+
+        prob = make_problem(args.poses, args.landmarks, args.obs_per_lm)
+        N = int(prob.obs_pixel.shape[0])
+        pad = (-N) % n_global
+        if pad:
+            prob = prob.replace(
+                obs_pose=jnp.pad(prob.obs_pose, (0, pad)),
+                obs_landmark=jnp.pad(prob.obs_landmark, (0, pad)),
+                obs_pixel=jnp.pad(prob.obs_pixel, ((0, pad), (0, 0))),
+                obs_mask=jnp.pad(prob.obs_mask, (0, pad)),
+            )
+        sh = shard_ba_problem(prob, mesh)
+        hd, wt, wr = jnp.float32(4.0), jnp.float32(30.0), jnp.float32(60.0)
+        lam = jnp.float32(1e-3)
+
+        def one_iter(p):
+            r, Jp, Jl, ro, Ji, Jj = _linearize(cam, p, hd, wt, wr, True)
+            d_pose, d_lm, _ = _solve_schur_pcg(
+                r, Jp, Jl, ro, Ji, Jj, p, lam, args.cg_iters, True
+            )
+            return _apply_step(p, d_pose, d_lm)
+
+        compiled = jax.jit(one_iter).lower(sh).compile()
+        vol = collective_volume(compiled.as_text())
+        p = compiled(sh)  # warmup execution
+        _ = np.asarray(jax.device_get(p.poses_t))
+        t0 = time.perf_counter()
+        for _ in range(args.bench_iters):
+            p = compiled(p)
+        _ = np.asarray(jax.device_get(p.poses_t))
+        dt = (time.perf_counter() - t0) / args.bench_iters
+        print(
+            "MULTIHOST_BENCH "
+            + json.dumps(
+                {
+                    "process_id": args.process_id,
+                    "num_processes": args.num_processes,
+                    "global_devices": n_global,
+                    "P": args.poses,
+                    "L": args.landmarks,
+                    "N": args.landmarks * args.obs_per_lm,
+                    "cg_iters": args.cg_iters,
+                    "sec_per_lm_iter": round(dt, 4),
+                    "collective_bytes_per_iter": vol["once_bytes"]
+                    + args.cg_iters * vol["loop_bytes"],
+                    "collective_count_per_iter": vol["count_once"]
+                    + args.cg_iters * vol["count_loop"],
+                }
+            ),
+            flush=True,
+        )
     return 0
 
 
