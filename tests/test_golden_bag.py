@@ -20,91 +20,88 @@ from vision_slam_frontend_tpu.backend import BASolverConfig, ate_rmse, optimize
 from vision_slam_frontend_tpu.backend.residuals import CameraParams
 from vision_slam_frontend_tpu.backend.tracks import build_ba_problem
 from vision_slam_frontend_tpu.frontend.config import FrontendConfig
-from vision_slam_frontend_tpu.io import rosbag
-from vision_slam_frontend_tpu.io.degrade import Degrader
-from vision_slam_frontend_tpu.io.image import encode_jpeg
 from vision_slam_frontend_tpu.io.serialize import load_problem
-from vision_slam_frontend_tpu.io.synthetic import SyntheticRig, generate_sequence
+from vision_slam_frontend_tpu.io.synthetic import SyntheticRig
 
 NUM_FRAMES = 100
 ODOM_DRIFT = 0.02
 JPEG_QUALITY = 88
 
+# Measured per-family golden values (BASELINE.md round-4 per-family matrix,
+# this exact fixture, guided_match_radius=40; odom ATE 0.186). Thresholds:
+# ate_ba_max ~1.5x measured, counts ~0.67x measured — tight enough that a
+# ~1.5x accuracy regression in ANY family fails CI (the round-3 verdict's
+# 3.8x-headroom complaint).
+FAMILY_GOLDEN = {
+    # measured: ate_ba 0.097, lm 954, obs 2929, feats 106.1/34
+    "orb": {"ate_ba_max": 0.15, "min_landmarks": 640, "min_feats_mean": 70,
+            "min_feats_min": 20},
+    # measured: ate_ba 0.077, lm 676, obs 1968, feats 82.3/23
+    "brisk": {"ate_ba_max": 0.12, "min_landmarks": 450, "min_feats_mean": 55,
+              "min_feats_min": 15},
+    # measured: ate_ba 0.181, lm 990, obs 3258, feats 90.4/31
+    "akaze": {"ate_ba_max": 0.27, "min_landmarks": 660, "min_feats_mean": 60,
+              "min_feats_min": 20},
+    # measured: ate_ba 0.164, lm 1344, obs 4062, feats 122.4/49
+    "sift": {"ate_ba_max": 0.25, "min_landmarks": 900, "min_feats_mean": 80,
+             "min_feats_min": 30},
+}
+
 
 def _write_degraded_bag(path: str, rig: SyntheticRig):
     """Render -> degrade -> JPEG -> ROS bag. Returns {timestamp: gt_cam_pos}."""
-    deg = Degrader(seed=9)
-    gt = {}
-    with rosbag.BagWriter(path) as bag:
-        conn_l = bag.get_connection(
-            "/stereo/left/image_raw/compressed", "sensor_msgs/CompressedImage", "*", ""
-        )
-        conn_r = bag.get_connection(
-            "/stereo/right/image_raw/compressed", "sensor_msgs/CompressedImage", "*", ""
-        )
-        conn_o = bag.get_connection("/odometry/filtered", "nav_msgs/Odometry", "*", "")
-        frames = generate_sequence(
-            num_frames=NUM_FRAMES, step=0.25, rig=rig,
-            yaw_rate=2 * np.pi / 210, odom_drift=ODOM_DRIFT, seed=5,
-        )
-        for i, f in enumerate(frames):
-            gt[round(f.timestamp, 6)] = f.cam_pos.copy()
-            t_ns = int(f.timestamp * 1e9) + 1
-            bag.write(
-                conn_o, t_ns,
-                rosbag.serialize_odometry(i, t_ns, f.odom_translation, f.odom_rotation),
-            )
-            left = deg(f.left, i, cam=0)
-            right = deg(f.right, i, cam=1)
-            bag.write(
-                conn_l, t_ns,
-                rosbag.serialize_compressed_image(
-                    i, t_ns, "jpeg", encode_jpeg(left, quality=JPEG_QUALITY)
-                ),
-            )
-            bag.write(
-                conn_r, t_ns,
-                rosbag.serialize_compressed_image(
-                    i, t_ns, "jpeg", encode_jpeg(right, quality=JPEG_QUALITY)
-                ),
-            )
-    return gt
+    from vision_slam_frontend_tpu.io.degrade import write_degraded_bag
+
+    return write_degraded_bag(
+        path, rig=rig, num_frames=NUM_FRAMES, odom_drift=ODOM_DRIFT,
+        jpeg_quality=JPEG_QUALITY, seed=9,
+    )
 
 
 @pytest.fixture(scope="module")
-def bag_run(tmp_path_factory):
-    """Write the degraded bag, run the real CLI on it, load the problem."""
-    from vision_slam_frontend_tpu.cli.slam_frontend import main
-
+def bag_fixture(tmp_path_factory):
+    """Write the degraded bag ONCE (family-independent)."""
     tmp = tmp_path_factory.mktemp("golden_bag")
     rig = SyntheticRig(width=512, height=384, cx=256.0, cy=192.0, fx=420.0, fy=420.0)
     bag_path = str(tmp / "degraded.bag")
     gt = _write_degraded_bag(bag_path, rig)
-
     config = FrontendConfig(
         calib=rig.calib(), max_features=256, frame_life=8, fast_threshold=12.0
     )
     cfg_path = str(tmp / "rig.yaml")
     config.save(cfg_path)
-    out_path = str(tmp / "problem.npz")
-    rc = main(["--input", bag_path, "--output", out_path, "--config", cfg_path])
+    return str(tmp), bag_path, cfg_path, gt, config
+
+
+@pytest.fixture(scope="module", params=sorted(FAMILY_GOLDEN))
+def bag_run(request, bag_fixture):
+    """Run the real CLI on the shared bag with the given descriptor family."""
+    from vision_slam_frontend_tpu.cli.slam_frontend import main
+
+    tmp, bag_path, cfg_path, gt, config = bag_fixture
+    family = request.param
+    out_path = f"{tmp}/problem_{family}.npz"
+    rc = main(["--input", bag_path, "--output", out_path, "--config", cfg_path,
+               "--descriptor_family", family])
     assert rc == 0
     problem = load_problem(out_path)
-    return problem, gt, config
+    return family, problem, gt, config
 
 
 class TestDegradedBagGolden:
     def test_pipeline_survives_degradation(self, bag_run):
-        problem, gt, config = bag_run
+        family, problem, gt, config = bag_run
+        g = FAMILY_GOLDEN[family]
         # Golden: measured 99 nodes (gate seeds on frame 0) with healthy
         # feature counts despite noise + blur + flicker + JPEG.
         assert len(problem.nodes) >= NUM_FRAMES - 6
         feats = [len(n.features) for n in problem.nodes]
-        assert np.mean(feats) > 80, np.mean(feats)
-        assert min(feats) > 20, min(feats)
+        assert np.mean(feats) > g["min_feats_mean"], np.mean(feats)
+        assert min(feats) > g["min_feats_min"], min(feats)
 
     def test_track_quality_on_degraded_io(self, bag_run):
-        problem, gt, config = bag_run
+        family, problem, gt, config = bag_run
+        g = FAMILY_GOLDEN[family]
         ba = build_ba_problem(
             problem,
             left_cam_to_robot=np.asarray(config.left_cam_to_robot),
@@ -112,11 +109,12 @@ class TestDegradedBagGolden:
         )
         n_lm = int(np.asarray(ba.landmark_mask).sum())
         n_obs = int(np.asarray(ba.obs_mask).sum())
-        assert n_lm > 500, n_lm
+        assert n_lm > g["min_landmarks"], n_lm
         assert n_obs / max(n_lm, 1) > 2.0  # multi-view tracks survive noise
 
     def test_ba_accuracy_on_degraded_io(self, bag_run):
-        problem, gt, config = bag_run
+        family, problem, gt, config = bag_run
+        g = FAMILY_GOLDEN[family]
         cam = CameraParams.from_config(config)
         ba = build_ba_problem(
             problem,
@@ -132,9 +130,9 @@ class TestDegradedBagGolden:
             solver=BASolverConfig(max_iterations=15, trim_threshold=8.0),
         )
         ate_ba = ate_rmse(np.asarray(opt.poses_t), gt_pos, align=False)
-        # Golden thresholds (BASELINE.md "degraded-io golden fixture"):
-        # BA must improve the drifting odometry AND beat an absolute bound
-        # even on degraded, JPEG'd, io-path-decoded imagery.
+        # Per-family golden thresholds: BA must improve the drifting
+        # odometry AND beat the family's measured bound x1.5, even on
+        # degraded, JPEG'd, io-path-decoded imagery.
         assert np.isfinite(info["cost"])
-        assert ate_ba < ate_odom, (ate_ba, ate_odom)
-        assert ate_ba < 0.25, ate_ba
+        assert ate_ba < ate_odom, (family, ate_ba, ate_odom)
+        assert ate_ba < g["ate_ba_max"], (family, ate_ba)
