@@ -40,9 +40,9 @@ TEXTURE_NOISE = 2.0
 # (tests/test_golden_bag.py: akaze 0.18, sift 0.16 vs odom 0.19). The pins
 # below still catch regressions of the measured behavior.
 FAMILY_GOLDEN = {
-    # measured: ate_ba 0.130, lm 2656, obs 8406, feats 144.6/64
-    "orb": {"ate_ba_max": 0.20, "min_landmarks": 1780, "min_obs": 5600,
-            "min_feats_mean": 95, "min_feats_min": 42, "beats_odom": True},
+    # measured: ate_ba 0.097, lm 2742, obs 8676, feats 147.5/63
+    "orb": {"ate_ba_max": 0.15, "min_landmarks": 1830, "min_obs": 5800,
+            "min_feats_mean": 98, "min_feats_min": 42, "beats_odom": True},
     # measured: ate_ba 0.152, lm 2685, obs 8092, feats 147.2/65
     "brisk": {"ate_ba_max": 0.23, "min_landmarks": 1800, "min_obs": 5400,
               "min_feats_mean": 95, "min_feats_min": 43, "beats_odom": True},

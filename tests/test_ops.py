@@ -251,7 +251,10 @@ class TestBriefMethods:
         valid = jnp.asarray(rng.rand(96) > 0.1)
         blurred = gaussian_blur(jnp.asarray(img), 2.0)
         theta_f, desc_f = orient_and_describe(jnp.asarray(img), blurred, kps, valid)
-        theta_s = compute_orientations(jnp.asarray(img), kps, valid)
+        # Composition convention matches the fused path: orientation from
+        # the BLURRED image (equally rotation-covariant, single-channel
+        # gather — see orient_and_describe's docstring).
+        theta_s = compute_orientations(blurred, kps, valid)
         desc_s = brief_describe(blurred, kps, theta_s, valid, method="mxu")
         np.testing.assert_allclose(
             np.asarray(theta_f), np.asarray(theta_s), atol=1e-5

@@ -398,27 +398,25 @@ def orient_and_describe(
     keypoints: jnp.ndarray,
     valid: jnp.ndarray,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Fused orientation + steered BRIEF with ONE patch extraction.
+    """Fused orientation + steered BRIEF with ONE single-channel extraction.
 
-    compute_orientations reads the unblurred image and brief_describe the
-    blurred one; run separately each pays its own transaction-bound 31x31
-    slab gather (the dominant cost of the describe stage at K >= 2048).
-    Stacking both as channels and extracting once halves that traffic; the
-    outputs are bit-identical to the two-call composition (mxu method).
+    Both the centroid orientation and the BRIEF bits read the BLURRED patch:
+    the intensity-centroid moment is a smooth functional, so computing it on
+    the sigma=2-smoothed image is an equally rotation-covariant (and
+    noise-stabler) convention than ORB's raw-image moments — and it makes
+    the slab gather single-channel. The gather is issue-bound on this
+    toolchain (~1.5 us/slab regardless of slab size, sort order, or layout —
+    probe_gather_variants.py) with payload size its one lever: one f16
+    channel is the smallest payload that keeps sub-integer blur gradients
+    (u8 was faster still but collapsed descriptor distinctiveness on
+    low-contrast imagery — see PATCH_DTYPE's comment).
 
-    The stacked patches are gathered as PATCH_DTYPE (float16 by default):
-    the slab gather is issue-bound on this toolchain (~1.5 us/slab
-    regardless of 15x15 vs 31x31, sort order, or layout —
-    probe_gather_variants.py) with payload size its one lever, and f16
-    halves the payload while keeping ~0.06-intensity-unit precision (u8 was
-    measured faster still, but its 1-unit quantization collapsed descriptor
-    distinctiveness on low-contrast imagery — see PATCH_DTYPE's comment).
-
+    `image` (unblurred) is accepted for API compatibility but unused.
     Returns (orientations (K,) f32, descriptors (K, 8) uint32).
     """
-    img_q = image.astype(jnp.float32)
+    del image  # orientation reads the blurred patch (see docstring)
     blur_q = image_blurred.astype(jnp.float32)
-    if _use_pallas_patches(keypoints.shape[0], 2 * image.size * 4):
+    if _use_pallas_patches(keypoints.shape[0], image_blurred.size * 4):
         # VMEM-resident extraction: the slab gather is transaction-bound in
         # HBM; the Pallas kernel keeps the whole image in VMEM and pays zero
         # HBM transactions per patch (ops/pallas_kernels.extract_patches_vmem,
@@ -428,19 +426,16 @@ def orient_and_describe(
         )
 
         out = extract_patches_vmem(
-            jnp.stack([img_q, blur_q]).astype(PATCH_DTYPE).astype(jnp.float32),
-            keypoints,
+            blur_q[None].astype(PATCH_DTYPE).astype(jnp.float32), keypoints
         )
-        p_orient, p_desc = out[:, 0], out[:, 1]  # (K, 961) each
+        p = out[:, 0]  # (K, 961)
     else:
-        stacked = jnp.stack([img_q, blur_q], axis=-1).astype(PATCH_DTYPE)
-        patches2 = extract_patches(stacked, keypoints)  # (K, 961, 2)
-        patches2 = patches2.astype(jnp.float32)
-        p_orient, p_desc = patches2[..., 0], patches2[..., 1]
+        p = extract_patches(blur_q.astype(PATCH_DTYPE), keypoints)
+        p = p.astype(jnp.float32)  # (K, 961)
     w = jnp.stack([jnp.asarray(_MOMENT_WX), jnp.asarray(_MOMENT_WY)], axis=1)
-    m = jax.lax.dot(p_orient, w, preferred_element_type=jnp.float32)
+    m = jax.lax.dot(p, w, preferred_element_type=jnp.float32)
     theta = jnp.where(valid, jnp.arctan2(m[:, 1], m[:, 0]), 0.0)
-    bits = _describe_bits_mxu(p_desc, quantize_angle(theta))
+    bits = _describe_bits_mxu(p, quantize_angle(theta))
     packed = pack_bits(bits)
     return theta, jnp.where(valid[:, None], packed, jnp.uint32(0))
 
@@ -488,7 +483,9 @@ def detect_and_describe(
         if fused:
             _, descriptors = orient_and_describe(image, blurred, keypoints, valid)
         else:
-            orientations = compute_orientations(image, keypoints, valid)
+            # Orientation from the BLURRED image, matching the fused path's
+            # convention (see orient_and_describe) so both are bit-identical.
+            orientations = compute_orientations(blurred, keypoints, valid)
             descriptors = brief_describe(blurred, keypoints, orientations, valid)
         return keypoints, scores, descriptors, valid
 
@@ -511,7 +508,7 @@ def detect_and_describe(
         if fused:
             _, desc = orient_and_describe(level_img, blurred, kps, valid)
         else:
-            orientations = compute_orientations(level_img, kps, valid)
+            orientations = compute_orientations(blurred, kps, valid)
             desc = brief_describe(blurred, kps, orientations, valid)
         kps_all.append(kps * scale)  # back to level-0 pixel coords
         scores_all.append(scores)
