@@ -104,7 +104,9 @@ def iter_euroc(path: str) -> Iterator[Event]:
     yield from iter_euroc_events(path)
 
 
-def prefetch_events(events: Iterator[Event], depth: int = 16) -> Iterator[Event]:
+def prefetch_events(
+    events: Iterator[Event], depth: int = 16, to_device: bool = True
+) -> Iterator[Event]:
     """Decode-ahead pipeline: run the event source (bag read + JPEG decode)
     on a producer thread feeding a bounded queue.
 
@@ -115,6 +117,13 @@ def prefetch_events(events: Iterator[Event], depth: int = 16) -> Iterator[Event]
     whole IO path with device compute — the TPU-side equivalent of the
     reference's single-threaded ProcessBagfile loop
     (src/slam_frontend_main.cc:271-328) but without its decode stall.
+
+    With `to_device`, the producer also issues the host->device image
+    uploads (as uint8, the wire format the keyframe step expects), so the
+    transfer queues ahead of the main loop's dispatch instead of on its
+    critical path — the dominant per-frame cost when the device link is
+    slow (BASELINE.md: the K=512 step is 2.9 ms on-chip; the 640x480 pair's
+    upload is ~8 ms through this environment's tunnel).
     """
     import queue
     import threading
@@ -124,8 +133,21 @@ def prefetch_events(events: Iterator[Event], depth: int = 16) -> Iterator[Event]
 
     def producer():
         try:
-            for ev in events:
-                q.put(ev)
+            import jax
+            import numpy as _np
+
+            for kind, t, payload in events:
+                if to_device and kind == "stereo":
+                    l, r = payload
+                    payload = (
+                        jax.device_put(
+                            _np.clip(_np.asarray(l), 0, 255).astype(_np.uint8)
+                        ),
+                        jax.device_put(
+                            _np.clip(_np.asarray(r), 0, 255).astype(_np.uint8)
+                        ),
+                    )
+                q.put((kind, t, payload))
             q.put(DONE)
         except BaseException as e:  # propagate into the consumer
             q.put(e)

@@ -44,6 +44,66 @@ from vision_slam_frontend_tpu.types.slam_types import (
 from vision_slam_frontend_tpu.utils import np_geom
 
 
+@jax.jit
+def _pack_result(r: KeyframeResult):
+    """Concatenate the host-needed result fields into 4 device arrays.
+
+    Transfer-latency optimization: device_get costs one link round trip PER
+    ARRAY, which dominates the per-keyframe fetch on high-latency links
+    (~15 leaves x ~0.5 ms through this environment's tunnel). Track ids stay
+    int32 (they exceed f32's 2^24 exact-integer range on long runs).
+    """
+    F = jnp.concatenate(
+        [r.pixels_undist, r.right_pixels_undist, r.points3d], axis=1
+    )  # (K, 7) f32
+    I1 = jnp.stack(
+        [r.track_id, r.feat_valid.astype(jnp.int32)], axis=1
+    )  # (K, 2) i32
+    K = r.pixels_undist.shape[0]
+    fids = jnp.zeros((1, K), jnp.int32).at[0, : r.window_frame_id.shape[0]].set(
+        r.window_frame_id
+    )
+    I2 = jnp.concatenate(
+        [r.window_curr_idx, r.window_matched.astype(jnp.int32), fids], axis=0
+    )  # (2W + 1, K) i32
+    meta = jnp.stack(
+        [
+            r.num_features.astype(jnp.float32),
+            r.num_stereo_candidates.astype(jnp.float32),
+            r.stereo_threshold,
+        ]
+    )  # (3,) f32
+    return F, I1, I2, meta
+
+
+def _unpack_result(F, I1, I2, meta):
+    """Host-side inverse of _pack_result -> a KeyframeResult over numpy."""
+    F = np.asarray(F)
+    I1 = np.asarray(I1)
+    I2 = np.asarray(I2)
+    meta = np.asarray(meta)
+    W = (I2.shape[0] - 1) // 2
+    return KeyframeResult(
+        pixels_undist=F[:, 0:2],
+        pixels_raw=None,
+        right_pixels_raw=None,
+        right_pixels_undist=F[:, 2:4],
+        points3d=F[:, 4:7],
+        feat_valid=I1[:, 1].astype(bool),
+        track_id=I1[:, 0],
+        window_curr_idx=I2[:W],
+        window_match_dist=None,
+        window_matched=I2[W : 2 * W].astype(bool),
+        window_frame_id=I2[2 * W, :W],
+        num_features=np.int32(meta[0]),
+        num_stereo_candidates=np.int32(meta[1]),
+        stereo_threshold=np.float32(meta[2]),
+    )
+
+
+import jax.numpy as jnp  # noqa: E402  (used by _pack_result)
+
+
 class Frontend:
     """Stateful stereo SLAM frontend.
 
@@ -166,13 +226,21 @@ class Frontend:
         q_init_inv = np_geom.quat_inverse(self._init_odom_q)
         pose_t = np_geom.quat_rotate(q_init_inv, self._odom_t - self._init_odom_t)
         pose_q = np_geom.quat_multiply(self._odom_q, q_init_inv)
+
         # Ship images as uint8 (4x less host->device traffic than float32);
-        # the device step casts to f32 on-chip.
+        # the device step casts to f32 on-chip. Pre-uploaded uint8 device
+        # arrays (the CLI's prefetch thread issues the transfer ahead of
+        # time) pass straight through.
+        def as_u8(img):
+            if isinstance(img, jax.Array) and img.dtype == np.uint8:
+                return img
+            return np.clip(np.asarray(img), 0, 255).astype(np.uint8)
+
         self._state, result = keyframe_step(
             self._params,
             self._state,
-            np.clip(np.asarray(left_image), 0, 255).astype(np.uint8),
-            np.clip(np.asarray(right_image), 0, 255).astype(np.uint8),
+            as_u8(left_image),
+            as_u8(right_image),
             np.int32(fid),
             capacity=self.config.max_features,
             window=self.config.frame_life,
@@ -200,14 +268,14 @@ class Frontend:
             ctx["left_image"] = np.asarray(left_image)
             ctx["right_image"] = np.asarray(right_image)
         elif not self.config.validate:
-            # Host-unused fields are excluded from the fetch: pixels_raw /
-            # right_pixels_raw only feed debug drawing, window_match_dist is
-            # device-internal — dropping them cuts the per-keyframe
-            # device->host transfer (~60 KB at K=512, W=10). (Validation mode
-            # keeps everything: check_keyframe_result inspects raw pixels.)
-            result = result.replace(
-                pixels_raw=None, right_pixels_raw=None, window_match_dist=None
-            )
+            # Pack the host-needed fields into FOUR device arrays (one tiny
+            # jitted concat program): device_get pays a per-array round trip
+            # on high-latency links (this environment's tunnel), so 11
+            # result leaves -> 4 is a direct per-keyframe latency cut.
+            # (pixels_raw / right_pixels_raw / window_match_dist only feed
+            # debug drawing and are excluded entirely; validation mode keeps
+            # the full result: check_keyframe_result inspects raw pixels.)
+            result = _pack_result(result)
         if self.config.validate:
             # Validation wants the error AT the offending frame: synchronous.
             self._flush_pending()
@@ -215,6 +283,16 @@ class Frontend:
         else:
             # Pipeline one deep: fetch keyframe k-1 while k computes.
             self._flush_pending()
+            # Start all result leaves' device->host copies NOW: by the time
+            # the next keyframe flushes this one, every transfer has already
+            # streamed in the background instead of paying one link
+            # round-trip per leaf inside device_get (~15 leaves; measurable
+            # on high-latency links like this environment's tunnel).
+            for leaf in jax.tree_util.tree_leaves(result):
+                try:
+                    leaf.copy_to_host_async()
+                except (AttributeError, RuntimeError):
+                    break
             self._pending = (ctx, result)
         self._prev_odom_t = self._odom_t.copy()
         self._prev_odom_q = self._odom_q.copy()
@@ -226,7 +304,11 @@ class Frontend:
             return
         ctx, result = self._pending
         self._pending = None
-        self._materialize(ctx, jax.device_get(result))
+        if isinstance(result, tuple):  # packed fetch (see observe_image)
+            result = _unpack_result(*map(jax.device_get, result))
+        else:
+            result = jax.device_get(result)
+        self._materialize(ctx, result)
 
     def _materialize(self, ctx: dict, r: KeyframeResult) -> None:
         """Host-side bookkeeping for one fetched keyframe result."""
