@@ -27,6 +27,63 @@ def t(fn, *args, n=10):
     return (time.perf_counter() - t0) / n * 1e3
 
 
+def main_pm():
+    """Phase profile of the ROUND-4 production path: pose-major linearize
+    (no relayout) + banded coupling (run: python probe_dense_ba.py pm [P] [L])."""
+    args = [a for a in sys.argv[1:] if a != "pm"]
+    P = int(args[0]) if len(args) > 0 else 500
+    L = int(args[1]) if len(args) > 1 else 100_000
+    import jax
+    import jax.numpy as jnp
+
+    from bench_ba import make_problem
+    from vision_slam_frontend_tpu.backend.ba import (
+        _build_pm_inputs,
+        _dense_coupling_plan,
+        _linearize_pm,
+        _solve_schur_dense_pm,
+    )
+    from vision_slam_frontend_tpu.backend.residuals import CameraParams
+
+    cam = CameraParams(
+        fx=jnp.float32(500.0), fy=jnp.float32(500.0),
+        cx=jnp.float32(320.0), cy=jnp.float32(240.0),
+        R_cr=jnp.eye(3), t_cr=jnp.zeros(3),
+    )
+    problem = make_problem(P, L, 5)
+    hd, wt, wr = jnp.float32(4.0), jnp.float32(30.0), jnp.float32(60.0)
+    lam = jnp.float32(1e-3)
+    plan = _dense_coupling_plan(problem)
+    print(f"P={P} L={L} N={L*5} backend={jax.default_backend()} "
+          f"plan PW={plan[0]} chunks={len(plan[2])} "
+          f"full_width={sum(1 for x in plan[2] if x < 0)}", flush=True)
+
+    pm = _build_pm_inputs(problem)
+    lin = jax.jit(lambda p, pmx: _linearize_pm(cam, p, pmx, hd, wt, wr, True))
+    ms = t(lin, problem, pm)
+    print(f"pm linearize (no relayout)    {ms:8.1f} ms", flush=True)
+    r_pm, Jp_pm, Jl_pm, ro, Ji, Jj = lin(problem, pm)
+
+    for name, pl in (("banded", plan), ("full-width", None)):
+        solve = jax.jit(
+            lambda rp, jp, jl, pl=pl: _solve_schur_dense_pm(
+                pm, rp, jp, jl, ro, Ji, Jj, problem, lam,
+                fix_first=True, plan=pl,
+            )
+        )
+        ms = t(solve, r_pm, Jp_pm, Jl_pm)
+        print(f"dense solve ({name:10s})     {ms:8.1f} ms", flush=True)
+
+    def full(p, pmx):
+        rp, jp, jl, ro2, ji2, jj2 = _linearize_pm(cam, p, pmx, hd, wt, wr, True)
+        return _solve_schur_dense_pm(
+            pmx, rp, jp, jl, ro2, ji2, jj2, p, lam, fix_first=True, plan=plan
+        )
+
+    ms = t(jax.jit(full), problem, pm)
+    print(f"FULL pm iteration (lin+solve) {ms:8.1f} ms = {1e3/ms:.2f} it/s", flush=True)
+
+
 def main():
     P = int(sys.argv[1]) if len(sys.argv) > 1 else 500
     L = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
