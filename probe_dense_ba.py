@@ -279,5 +279,7 @@ def probe_chunks():
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "chunks":
         probe_chunks()
+    elif "pm" in sys.argv[1:]:
+        main_pm()
     else:
         main()
