@@ -64,7 +64,7 @@ def main_pm():
     print(f"pm linearize (no relayout)    {ms:8.1f} ms", flush=True)
     r_pm, Jp_pm, Jl_pm, ro, Ji, Jj = lin(problem, pm)
 
-    for name, pl in (("banded", plan), ("full-width", None)):
+    for name, pl in (("banded", plan),):
         solve = jax.jit(
             lambda rp, jp, jl, pl=pl: _solve_schur_dense_pm(
                 pm, rp, jp, jl, ro, Ji, Jj, problem, lam,
