@@ -139,11 +139,11 @@ def extract_patches(image: jnp.ndarray, keypoints: jnp.ndarray) -> jnp.ndarray:
     (ops/pallas_kernels.extract_patches_vmem) reproduces exactly.
 
     Accepts (H, W) -> (K, 961) or multichannel (H, W, C) -> (K, 961, C).
-    Stacking the channels a stage needs (e.g. unblurred for orientation +
-    blurred for BRIEF) and extracting ONCE doubles the bytes per HBM
-    transaction of this gather — the patch gather is transaction-bound, so
-    that is ~2x cheaper than two single-channel extractions (measured at
-    K=8192: BASELINE.md round 3).
+    The gather is issue-bound (~1.5 us/slab regardless of slab size) with a
+    payload-size component, so the ORB path extracts ONE f16 channel (the
+    blurred image feeds both orientation moments and BRIEF bits —
+    orient_and_describe); multi-plane families (BRISK/AKAZE) stack their
+    pyramid planes as channels to share the single gather.
     """
     H, W = image.shape[0], image.shape[1]
     kx = jnp.clip(
