@@ -113,6 +113,7 @@ def _bench_config(P, L, obs_per_lm, solver, cg_iters, n_iters=10, with_mfu=False
         _build_pm_inputs,
         _dense_coupling_plan,
         _linearize_pm,
+        _solve_schur_dense_chunked_from_pm,
         _solve_schur_dense_pm,
         _solve_schur_pcg_posemajor_chunked_from_pm,
         _solve_schur_pcg_posemajor_from_pm,
@@ -164,7 +165,11 @@ def _bench_config(P, L, obs_per_lm, solver, cg_iters, n_iters=10, with_mfu=False
     # inputs re-laid-out pose-major ONCE, every iteration linearizes directly
     # in that layout — no per-iteration Jacobian relayout gathers.
     pm = _build_pm_inputs(problem)
-    plan = _dense_coupling_plan(problem) if solver == "dense" else None
+    plan = (
+        _dense_coupling_plan(problem)
+        if solver in ("dense", "dense_chunked")
+        else None
+    )
 
     def one_iter(p):
         r_pm, Jp_pm, Jl_pm, ro, Ji, Jj = _linearize_pm(cam, p, pm, hd, wt, wr, True)
@@ -172,6 +177,10 @@ def _bench_config(P, L, obs_per_lm, solver, cg_iters, n_iters=10, with_mfu=False
             d_pose, d_lm, res = _solve_schur_dense_pm(
                 pm, r_pm, Jp_pm, Jl_pm, ro, Ji, Jj, p, lam,
                 fix_first=True, plan=plan,
+            )
+        elif solver == "dense_chunked":
+            d_pose, d_lm, res = _solve_schur_dense_chunked_from_pm(
+                pm, r_pm, Jp_pm, Jl_pm, ro, Ji, Jj, p, lam, True, plan
             )
         elif solver == "pcg_chunked":
             d_pose, d_lm, res = _solve_schur_pcg_posemajor_chunked_from_pm(
@@ -202,7 +211,7 @@ def _bench_config(P, L, obs_per_lm, solver, cg_iters, n_iters=10, with_mfu=False
         "iters_per_sec": round(n_iters / dt, 3),
         "sec_per_iter": round(dt / n_iters, 4),
     }
-    if with_mfu and solver != "pcg_chunked":  # chunked is not one program
+    if with_mfu and solver not in ("pcg_chunked", "dense_chunked"):  # chunked is not one program
         try:
             compiled = jax.jit(one_iter).lower(problem).compile()
             flops = compiled.cost_analysis()["flops"]
@@ -224,7 +233,9 @@ def main() -> None:
     ap.add_argument("--poses", type=int, default=500)
     ap.add_argument("--cg-iters", type=int, default=32)
     ap.add_argument(
-        "--solver", choices=["dense", "pcg", "pcg_chunked", "segments"], default="dense",
+        "--solver",
+        choices=["dense", "dense_chunked", "pcg", "pcg_chunked", "segments"],
+        default="dense",
         help="inner reduced-camera solver (dense Cholesky is the fast path "
         "at this pose count; pcg is the matrix-free/distributed form; "
         "segments is the pose-chain-sharded two-level solver)",
@@ -245,6 +256,7 @@ def main() -> None:
                 grid.append((P, L, "dense", 0))
                 grid.append((P, L, "pcg", args.cg_iters))
                 if P >= 2000:
+                    grid.append((P, L, "dense_chunked", 0))
                     grid.append((P, L, "segments", 0))
         results = []
         for P, L, solver, cg in grid:

@@ -394,7 +394,7 @@ class TestDenseSchur:
         lam = jnp.float32(1e-3)
         pm = _build_pm_inputs(problem)
         plan = _dense_coupling_plan(problem, chunk=64, pw_multiple=8)
-        PW, chunk, pmins = plan
+        PW, chunk, pmins = plan[:3]
         assert PW < 64, f"plan not banded: {plan}"
         assert any(p >= 0 for p in pmins)
         r_pm, Jp_pm, Jl_pm, ro, Ji, Jj = _linearize_pm(
@@ -413,6 +413,84 @@ class TestDenseSchur:
             np.testing.assert_allclose(
                 np.asarray(b), np.asarray(f), atol=2e-3 * scale, rtol=2e-3
             )
+
+    def test_dense_chunked_matches_fused_dense_step(self):
+        """The multi-program dense assembly (prep / per-chunk accumulate with
+        donated in-place S / Cholesky / backsub — the P>1k compile-ceiling
+        escape, backend/ba._solve_schur_dense_chunked_from_pm) must produce
+        the same step as the fused single-program dense form: identical math,
+        different program partitioning."""
+        import jax.numpy as jnp
+
+        from bench_ba import make_problem
+        from vision_slam_frontend_tpu.backend.ba import (
+            _build_pm_inputs,
+            _dense_coupling_plan,
+            _linearize_pm,
+            _solve_schur_dense_chunked_from_pm,
+            _solve_schur_dense_pm,
+        )
+
+        problem = make_problem(P=64, L=512, obs_per_lm=3, seed=7)
+        cam = make_cam()
+        hd, wt, wr = jnp.float32(4.0), jnp.float32(30.0), jnp.float32(60.0)
+        lam = jnp.float32(1e-3)
+        pm = _build_pm_inputs(problem)
+        plan = _dense_coupling_plan(problem, chunk=64, pw_multiple=8)
+        PW, chunk, pmins = plan[:3]
+        assert PW < 64 and any(p >= 0 for p in pmins) and any(
+            p < 0 for p in pmins
+        ), f"plan must exercise banded AND full-width chunks: {plan}"
+        r_pm, Jp_pm, Jl_pm, ro, Ji, Jj = _linearize_pm(
+            cam, problem, pm, hd, wt, wr, True
+        )
+        fused = _solve_schur_dense_pm(
+            pm, r_pm, Jp_pm, Jl_pm, ro, Ji, Jj, problem, lam,
+            fix_first=True, plan=plan,
+        )
+        chunked = _solve_schur_dense_chunked_from_pm(
+            pm, r_pm, Jp_pm, Jl_pm, ro, Ji, Jj, problem, lam, True, plan
+        )
+        # Same phase order; only program partitioning (and full-width
+        # sub-chunk summation order) differs — fp-accumulation-level agreement.
+        for f, c in zip(fused[:2], chunked[:2]):
+            scale = max(float(np.abs(np.asarray(f)).max()), 1e-9)
+            np.testing.assert_allclose(
+                np.asarray(c), np.asarray(f), atol=1e-4 * scale, rtol=1e-4
+            )
+        # And with plan=None (pure full-width) it must still agree.
+        chunked_fw = _solve_schur_dense_chunked_from_pm(
+            pm, r_pm, Jp_pm, Jl_pm, ro, Ji, Jj, problem, lam, True, None
+        )
+        for f, c in zip(fused[:2], chunked_fw[:2]):
+            scale = max(float(np.abs(np.asarray(f)).max()), 1e-9)
+            np.testing.assert_allclose(
+                np.asarray(c), np.asarray(f), atol=2e-3 * scale, rtol=2e-3
+            )
+
+    def test_dense_chunked_optimize_dispatch(self):
+        """optimize() with schur_solver='dense_chunked' (and the auto window
+        dense_max_poses < P <= dense_chunked_max_poses) reaches the dense
+        optimum."""
+        cam, problem, _, _ = synthetic_ba(
+            P=8, L=100, pose_noise=0.05, lm_noise=0.3, px_noise=0.3, seed=6
+        )
+        opt_c, info_c = optimize(
+            problem, cam=cam,
+            solver=BASolverConfig(max_iterations=10, schur_solver="dense_chunked"),
+        )
+        opt_d, info_d = optimize(
+            problem, cam=cam,
+            solver=BASolverConfig(max_iterations=10, schur_solver="dense"),
+        )
+        assert abs(info_c["cost"] - info_d["cost"]) / max(info_d["cost"], 1e-9) < 1e-3
+        # Auto-dispatch window: force fused-dense off, chunked-dense on.
+        opt_a, info_a = optimize(
+            problem, cam=cam,
+            solver=BASolverConfig(max_iterations=3, schur_solver="auto",
+                                  dense_max_poses=4, dense_chunked_max_poses=64),
+        )
+        assert np.isfinite(info_a["cost"])
 
     def test_dense_and_pcg_reach_same_optimum(self):
         cam, problem, gt_t, _ = synthetic_ba(

@@ -54,12 +54,19 @@ class BASolverConfig:
     #   "auto"  — dense Cholesky when 6P fits comfortably (P <= dense_max_poses
     #             and gather tables present), matrix-free PCG otherwise;
     #   "dense" — always materialize S (exact, MXU-heavy; see _solve_schur_dense);
+    #   "dense_chunked" — the same explicit-S solve with the assembly split
+    #             into small programs + a host chunk loop (in-place HBM S
+    #             accumulation); extends dense past the fused form's
+    #             compile ceiling to P ~ 2000+ (_solve_schur_dense_chunked_from_pm);
     #   "pcg"   — always matrix-free PCG (the distributed/sharded form);
     #   "pcg_chunked" — PCG split into several small programs with a host CG
     #             loop (same math; the only form that compiles at N >= ~2.5M
     #             observations on this toolchain — BASELINE.md).
     schur_solver: str = "auto"
     dense_max_poses: int = 1024
+    # "auto" uses the chunked dense assembly for dense_max_poses < P <= this
+    # (measured faster than PCG through P=2000 at L=100k — BASELINE.md r5).
+    dense_chunked_max_poses: int = 2048
     # Above this observation count, "auto"/"pcg" switch to the chunked
     # multi-program PCG (the fused single program exceeds the remote compile
     # helper's capacity; see _solve_schur_pcg_posemajor_chunked).
@@ -600,17 +607,94 @@ def _bbt_compensated(Bt_chunk, oh):
     +0.57 on a P=64 synthetic). Splitting B = hi + lo (both bf16) and
     computing hi hi^T + hi lo^T + (hi lo^T)^T cuts the error ~256x
     (min-eig +0.63) for 2x the MXU work — still far cheaper than f32.
+
+    Lowering matters: the natural einsum "lmis,lmp->pils" placement is
+    broadcast+reduce on this toolchain (~450 MB of (l,m,p,i,s) intermediate
+    per 8192-landmark chunk, 13 ms); the explicit dot_general pair below —
+    an l-batched (18, Ml)x(Ml, PW) slab build, then one (l, s)-contracting
+    MXU product that never materializes the (6PW, 3lc) slab in a fixed
+    layout — measures 4.7 ms for the same chunk (round-5 probe, bit-equal
+    to the einsum form up to bf16 rounding order).
     """
     P = oh.shape[-1]
-    lc = Bt_chunk.shape[0]
+    lc, Ml = Bt_chunk.shape[:2]
     hi = Bt_chunk.astype(jnp.bfloat16)
     lo = (Bt_chunk - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     ohb = oh.astype(jnp.bfloat16)
-    Bhi = jnp.einsum("lmis,lmp->pils", hi, ohb).reshape(6 * P, 3 * lc)
-    Blo = jnp.einsum("lmis,lmp->pils", lo, ohb).reshape(6 * P, 3 * lc)
-    HH = jax.lax.dot(Bhi, Bhi.T, preferred_element_type=jnp.float32)
-    HL = jax.lax.dot(Bhi, Blo.T, preferred_element_type=jnp.float32)
-    return HH + HL + HL.T
+    dn = (((1,), (1,)), ((0,), (0,)))  # contract m, batch l
+    B4h = jax.lax.dot_general(
+        hi.reshape(lc, Ml, 18), ohb, dn, preferred_element_type=jnp.bfloat16
+    ).reshape(lc, 6, 3, P)
+    B4l = jax.lax.dot_general(
+        lo.reshape(lc, Ml, 18), ohb, dn, preferred_element_type=jnp.bfloat16
+    ).reshape(lc, 6, 3, P)
+    dn2 = (((0, 2), (0, 2)), ((), ()))  # contract (l, s)
+    HH = jax.lax.dot_general(B4h, B4h, dn2, preferred_element_type=jnp.float32)
+    HL = jax.lax.dot_general(B4h, B4l, dn2, preferred_element_type=jnp.float32)
+    M = HH + HL + jnp.transpose(HL, (2, 3, 0, 1))  # (6, PW, 6, PW) sym pair
+    return jnp.transpose(M, (1, 0, 3, 2)).reshape(6 * P, 6 * P)
+
+
+def _block_shift_place(blocks, col0: int):
+    """Place (P, 6, 6) blocks into a zero (6P, 6P) matrix with block p's
+    6x6 at rows 6p, columns col0 + 6p — pure pad-and-reshape, no scatter.
+
+    Lay each block at column col0 of a (6, 6P)-wide row group, append 6
+    zeros per group, and re-chunk rows of 6P: each successive group shifts
+    right one 6-column slot. col0=0 gives the block diagonal, col0=6 the
+    block superdiagonal (the last block then has no in-range slot and must
+    be zero — odometry chain factors guarantee that).
+    """
+    P = blocks.shape[0]
+    pad = jnp.pad(blocks, ((0, 0), (0, 0), (col0, 6 * P - 6 - col0)))
+    Y = jnp.concatenate(
+        [pad.reshape(P, 36 * P), jnp.zeros((P, 6), blocks.dtype)], axis=1
+    )
+    return Y.reshape(-1)[: 36 * P * P].reshape(6 * P, 6 * P)
+
+
+def _s_init(U_diag, Ji, Jj, odom_i, odom_j, extras):
+    """Scatter-free assembly of S's block diagonal + odometry coupling blocks.
+
+    Scatters into a (P, 6, P, 6) operand (`.at[ar, :, ar, :].set` /
+    `.at[oi, :, oj, :].add`) make the TPU compile helper plan ~26.7 GB and
+    die at P >= 2000, and a lax.scan of per-factor 6x6 dynamic updates runs
+    ~7 s at P=2000 on this toolchain (the (6P)^2 carry is copied per step,
+    round-5 probes). Instead:
+      - block diagonal + chain-factor coupling via _block_shift_place: chain
+        factors (j == i+1, every frontend odometry factor) reduce to a
+        (P, 6, 6) band (small-operand scatter-add, fine on TPU), placed on
+        the block super-diagonal, symmetrized with one transpose;
+      - non-chain factors (merge/loop-closure ties — host-static `extras`
+        index tuple, usually empty) via a one-hot einsum over just those
+        factors (None = no host plan: one-hot einsum over ALL factors,
+        small-problem fallback).
+    """
+    P = U_diag.shape[0]
+    S2 = _block_shift_place(U_diag, 0)
+    if odom_i is None:
+        return S2
+    Koff = jnp.einsum("qia,qib->qab", Ji, Jj)
+    if extras is None:
+        oi = jax.nn.one_hot(odom_i, P, dtype=Koff.dtype)
+        oj = jax.nn.one_hot(odom_j, P, dtype=Koff.dtype)
+        M = jnp.einsum("qab,qp,qr->parb", Koff, oi, oj).reshape(6 * P, 6 * P)
+        return S2 + M + M.T
+    chain = odom_j == odom_i + 1
+    # Masked factors carry zeroed Jacobians (Koff = 0) and padding ids fail
+    # the chain test either way; dump non-chain rows into the P slot.
+    band = jnp.zeros((P + 1, 6, 6), Koff.dtype)
+    band = band.at[jnp.where(chain, odom_i, P)].add(Koff)
+    Sup = _block_shift_place(band[:P], 6)
+    S2 = S2 + Sup + Sup.T
+    if len(extras):
+        idx = jnp.asarray(extras, jnp.int32)
+        Ke = Koff[idx]
+        oi = jax.nn.one_hot(odom_i[idx], P, dtype=Koff.dtype)
+        oj = jax.nn.one_hot(odom_j[idx], P, dtype=Koff.dtype)
+        M = jnp.einsum("qab,qp,qr->parb", Ke, oi, oj).reshape(6 * P, 6 * P)
+        S2 = S2 + M + M.T
+    return S2
 
 
 def _dense_coupling_plan(problem: BAProblem, chunk: int = 8192, pw_multiple: int = 64):
@@ -625,12 +709,21 @@ def _dense_coupling_plan(problem: BAProblem, chunk: int = 8192, pw_multiple: int
     ~8x less placement traffic than full-width placement (the round-3
     profile's 391 ms coupling phase vs its 58 ms matmul lower bound).
 
-    Returns (PW, chunk, (pmin per chunk)) — all static ints, so the jitted
-    solver specializes on it (one compile per problem, the existing norm).
-    Falls back to full width (PW = P) when landmarks aren't pose-local.
+    Returns (PW, chunk, (pmin per chunk), (extra odom factor indices)) — all
+    static ints, so the jitted solver specializes on it (one compile per
+    problem, the existing norm). Falls back to full width (PW = P) when
+    landmarks aren't pose-local. The extras tuple lists valid NON-CHAIN
+    odometry factors (j != i+1 — merge/loop-closure ties); chain factors are
+    assembled scatter-free via the banded placement in _s_init.
     """
     P = int(problem.poses_t.shape[0])
     L = int(problem.landmarks.shape[0])
+    extras = ()
+    if problem.odom_i is not None:
+        oi = np.asarray(jax.device_get(problem.odom_i))
+        oj = np.asarray(jax.device_get(problem.odom_j))
+        om = np.asarray(jax.device_get(problem.odom_mask))
+        extras = tuple(int(q) for q in np.nonzero(om & (oj != oi + 1))[0])
     lm_obs = np.asarray(jax.device_get(problem.lm_obs))
     lm_mask = np.asarray(jax.device_get(problem.lm_obs_mask))
     Mp = int(problem.pose_obs.shape[1])
@@ -650,14 +743,15 @@ def _dense_coupling_plan(problem: BAProblem, chunk: int = 8192, pw_multiple: int
     # (pmin = -1) instead of dragging every chunk to full width.
     local = [s for _, s in bounds if 0 < s <= max(P // 2, pw_multiple)]
     if not local:
-        return (P, chunk, tuple(0 for _ in bounds))
+        return (P, chunk, tuple(0 for _ in bounds), extras)
     PW = min(-(-max(local) // pw_multiple) * pw_multiple, P)
     if PW >= P:
-        return (P, chunk, tuple(0 for _ in bounds))
+        return (P, chunk, tuple(0 for _ in bounds), extras)
     return (
         PW,
         chunk,
         tuple(min(mn, P - PW) if 0 <= s <= PW else -1 for mn, s in bounds),
+        extras,
     )
 
 
@@ -722,19 +816,18 @@ def _dense_core(
     Jls = jnp.einsum("pmij,pmj->pmi", Jl_pm, s_pm)
     b = gauge(g_pose - jnp.einsum("pmij,pmi->pj", Jp_pm, Jls))
 
-    # --- Dense S. Diagonal: U + odom diag + damping.
+    # --- Dense S. Diagonal: U + odom diag + damping; odometry off-diagonal
+    # blocks assembled scatter-free (_s_init — scatters into a (P,6,P,6)
+    # operand make the TPU compile helper plan ~26.7 GB and die at P >= 2000).
     U_diag = jnp.einsum("pmij,pmik->pjk", Jp_pm, Jp_pm) + U_odom
     U_diag += lm_damping * jnp.eye(6)[None]
-    S = jnp.zeros((P, 6, P, 6), jnp.float32)
     ar = jnp.arange(P)
-    S = S.at[ar, :, ar, :].set(U_diag)
-    # Odometry off-diagonal coupling (Q ~ P blocks; tiny scatter).
-    if problem.odom_i is not None:
-        Koff = jnp.einsum("qia,qib->qab", Ji, Jj)  # (Q, 6, 6)
-        S = S.at[problem.odom_i, :, problem.odom_j, :].add(Koff)
-        S = S.at[problem.odom_j, :, problem.odom_i, :].add(
-            jnp.swapaxes(Koff, -1, -2)
-        )
+    if plan is None:
+        chunk = 8192
+        plan = (P, chunk, tuple(0 for _ in range(0, max(L, 1), chunk)), None)
+    PW, chunk, pmins = plan[:3]
+    extras = plan[3] if len(plan) > 3 else None
+    S2 = _s_init(U_diag, Ji, Jj, problem.odom_i, problem.odom_j, extras)
 
     # --- Coupling term: S -= B B^T with B = W V^{-1/2}, built landmark-major
     # in chunks so the pose one-hot placement stays small, then one big MXU
@@ -744,12 +837,6 @@ def _dense_core(
     W_lm = W_pm.reshape(P * Mp, 18)[lm_tbl].reshape(L, Ml, 6, 3) * lm_mask[..., None]
     Bt = jnp.einsum("lmij,lcj->lmic", W_lm, Ginv)  # (L, Ml, 6, 3) = W G^{-T}
     pose_of = lm_tbl // Mp  # (L, Ml)
-
-    S2 = S.reshape(6 * P, 6 * P)
-    if plan is None:
-        chunk = 8192
-        plan = (P, chunk, tuple(0 for _ in range(0, max(L, 1), chunk)))
-    PW, chunk, pmins = plan
     arw = jnp.arange(PW)
     for ci, l0 in enumerate(range(0, L, chunk)):
         lc = min(chunk, L - l0)
@@ -786,6 +873,173 @@ def _dense_core(
 # Pose-major-input dense entry (the production path: _linearize_pm feeds it;
 # `plan` from _dense_coupling_plan is static, so one compile per problem).
 _solve_schur_dense_pm = jax.jit(_dense_core, static_argnames=("fix_first", "plan"))
+
+
+# --- Chunked dense solver: the same explicit-S math as _dense_core, split at
+# its natural phase boundaries (prep / per-chunk coupling accumulate /
+# Cholesky / back-substitution) into separate jitted programs with the S
+# matrix accumulated IN PLACE in HBM (buffer donation), so no single program's
+# working set exceeds what this environment's remote compile helper digests
+# (~1 GB — CLAUDE.md). This is what extends the measured-fastest dense solver
+# past the fused form's P~1k compile ceiling to P=2000+ (the pcg_chunked
+# pattern applied to dense assembly; round-4 VERDICT item 1).
+
+
+@partial(jax.jit, static_argnames=("fix_first", "extras"))
+def _dense_prep(pm, r_pm, Jp_pm, Jl_pm, ro, Ji, Jj, problem: BAProblem, lm_damping, fix_first: bool, extras=None):
+    """Everything before the coupling accumulation, as one program.
+
+    Returns a dict with the initial S (diag + odometry coupling, (6P, 6P)),
+    the gauged reduced RHS b, the per-landmark coupling slabs Bt = W G^{-T}
+    laid out landmark-major, and the pieces back-substitution needs.
+    """
+    P = problem.poses_t.shape[0]
+    L = problem.landmarks.shape[0]
+    pm_mask = pm["mask"].astype(r_pm.dtype)[..., None]
+    lm_tbl = problem.lm_obs
+    lm_mask = problem.lm_obs_mask.astype(r_pm.dtype)[..., None]
+    ol_pm = pm["landmark"]
+    Mp = ol_pm.shape[1]
+    Ml = lm_tbl.shape[1]
+
+    def lm_reduce(x_pm):
+        flat = x_pm.reshape(P * Mp, x_pm.shape[-1])
+        return jnp.sum(flat[lm_tbl] * lm_mask, axis=1)
+
+    VV = jnp.einsum("pmij,pmik->pmjk", Jl_pm, Jl_pm).reshape(P, Mp, 9)
+    V = lm_reduce(VV).reshape(L, 3, 3) + lm_damping * jnp.eye(3)[None]
+    V_inv = _sym3_inv(V)
+    Ginv = _inv_lower3(_chol3(V))
+
+    g_odom, U_odom, _ = _odom_terms(problem, Ji, Jj, ro, P)
+    g_pose = -jnp.einsum("pmij,pmi->pj", Jp_pm, r_pm) + g_odom
+    g_lm = -lm_reduce(jnp.einsum("pmij,pmi->pmj", Jl_pm, r_pm))
+
+    fixed = jnp.zeros((P,), bool)
+    if fix_first:
+        fixed = fixed.at[0].set(True)
+    if problem.pose_fixed is not None:
+        fixed = fixed | problem.pose_fixed
+    free = (~fixed).astype(jnp.float32)
+
+    s = jnp.einsum("ljk,lk->lj", V_inv, g_lm)
+    s_pm = s[ol_pm] * pm_mask
+    Jls = jnp.einsum("pmij,pmj->pmi", Jl_pm, s_pm)
+    b = (g_pose - jnp.einsum("pmij,pmi->pj", Jp_pm, Jls)) * free[:, None]
+
+    U_diag = jnp.einsum("pmij,pmik->pjk", Jp_pm, Jp_pm) + U_odom
+    U_diag += lm_damping * jnp.eye(6)[None]
+    S2 = _s_init(U_diag, Ji, Jj, problem.odom_i, problem.odom_j, extras)
+
+    W_pm = jnp.einsum("pmij,pmik->pmjk", Jp_pm, Jl_pm)
+    W_lm = W_pm.reshape(P * Mp, 18)[lm_tbl].reshape(L, Ml, 6, 3) * lm_mask[..., None]
+    Bt = jnp.einsum("lmij,lcj->lmic", W_lm, Ginv)
+    pose_of = lm_tbl // Mp
+
+    return {
+        "S2": S2, "b": b, "free": free,
+        "V_inv": V_inv, "g_lm": g_lm, "Bt": Bt, "pose_of": pose_of,
+    }
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _dense_accum_banded(S2, Bt_chunk, pose_chunk, pmin, arw):
+    """S2 -= chunk's B B^T, placed in the (6*PW)^2 window at 6*pmin.
+
+    `arw` = jnp.arange(PW) carries the static window width; `pmin` is a
+    traced scalar so one compiled program serves every banded chunk. S2 is
+    donated: the update is in place in HBM.
+    """
+    oh = (pose_chunk[:, :, None] - pmin) == arw[None, None, :]
+    bbt = _bbt_compensated(Bt_chunk, oh)
+    a = 6 * pmin
+    window = jax.lax.dynamic_slice(S2, (a, a), bbt.shape)
+    return jax.lax.dynamic_update_slice(S2, window - bbt, (a, a))
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _dense_accum_full(S2, Bt_chunk, pose_chunk):
+    """Full-width placement for outlier chunks (loop-closure landmarks)."""
+    P = S2.shape[0] // 6
+    oh = pose_chunk[:, :, None] == jnp.arange(P)[None, None, :]
+    return S2 - _bbt_compensated(Bt_chunk, oh)
+
+
+@jax.jit
+def _dense_solve(S2, b, free):
+    """Gauge + exact Cholesky solve of the assembled reduced camera system."""
+    free6 = jnp.repeat(free, 6)
+    S2 = S2 * free6[:, None] * free6[None, :]
+    S2 = S2 + jnp.diag(1.0 - free6)
+    chol = jax.scipy.linalg.cholesky(S2, lower=True)
+    x = jax.scipy.linalg.cho_solve((chol, True), b.reshape(-1))
+    P = b.shape[0]
+    d_pose = x.reshape(P, 6) * free[:, None]
+    rr = b - (S2 @ x).reshape(P, 6)
+    return d_pose, jnp.linalg.norm(rr)
+
+
+@jax.jit
+def _dense_backsub(Jp_pm, Jl_pm, lm_tbl, lm_mask_b, V_inv, g_lm, d_pose):
+    """d_lm = V^{-1}(g_lm - W^T d_pose), from pose-major inputs."""
+    P, Mp = Jp_pm.shape[:2]
+    lm_mask = lm_mask_b.astype(g_lm.dtype)[..., None]
+    y = jnp.einsum("pmij,pj->pmi", Jp_pm, d_pose)
+    flat = jnp.einsum("pmij,pmi->pmj", Jl_pm, y).reshape(P * Mp, 3)
+    wtd = jnp.sum(flat[lm_tbl] * lm_mask, axis=1)
+    return jnp.einsum("ljk,lk->lj", V_inv, g_lm - wtd)
+
+
+# Sub-chunk size for full-width (outlier) placements in the chunked dense
+# path: keeps the (6P, 3*lc) bf16 placement slabs small next to the two
+# (6P)^2 buffers the accumulate program already holds.
+_DENSE_FULL_SUBCHUNK = 2048
+
+
+def _solve_schur_dense_chunked_from_pm(
+    pm, r_pm, Jp_pm, Jl_pm, ro, Ji, Jj, problem: BAProblem, lm_damping,
+    fix_first: bool, plan,
+):
+    """Chunked dense Schur solve: multi-program assembly, host chunk loop.
+
+    Same math as _dense_core (identical phase order; full-width chunks split
+    into fixed sub-chunks, which only reorders a sum), so results match the
+    fused dense path to fp accumulation order.
+    """
+    P = problem.poses_t.shape[0]
+    L = problem.landmarks.shape[0]
+    if plan is None:
+        chunk = 8192
+        plan = (P, chunk, tuple(-1 for _ in range(0, max(L, 1), chunk)), None)
+    PW, chunk, pmins = plan[:3]
+    extras = plan[3] if len(plan) > 3 else None
+    prep = _dense_prep(
+        pm, r_pm, Jp_pm, Jl_pm, ro, Ji, Jj, problem, lm_damping, fix_first,
+        extras=extras,
+    )
+    S2 = prep.pop("S2")  # sole reference: the accumulate programs donate it
+    Bt, pose_of = prep["Bt"], prep["pose_of"]
+    arw = jnp.arange(PW)
+    for ci, l0 in enumerate(range(0, L, chunk)):
+        lc = min(chunk, L - l0)
+        pmin = pmins[ci]
+        if pmin < 0 or PW >= P:  # full-width placement, in sub-chunks
+            for s0 in range(l0, l0 + lc, _DENSE_FULL_SUBCHUNK):
+                sc = min(_DENSE_FULL_SUBCHUNK, l0 + lc - s0)
+                S2 = _dense_accum_full(
+                    S2, Bt[s0 : s0 + sc], pose_of[s0 : s0 + sc]
+                )
+        else:
+            S2 = _dense_accum_banded(
+                S2, Bt[l0 : l0 + lc], pose_of[l0 : l0 + lc],
+                jnp.int32(pmin), arw,
+            )
+    d_pose, rr = _dense_solve(S2, prep["b"], prep["free"])
+    d_lm = _dense_backsub(
+        Jp_pm, Jl_pm, problem.lm_obs, problem.lm_obs_mask,
+        prep["V_inv"], prep["g_lm"], d_pose,
+    )
+    return d_pose, d_lm, rr
 
 
 @partial(jax.jit, static_argnames=("fix_first",))
@@ -1106,9 +1360,21 @@ def _optimize_round(
     )
     if solver.schur_solver == "dense" and not use_dense and verbose:
         print("[BA] no gather tables (sharded problem?): dense -> PCG fallback")
-    use_chunked = problem.pose_obs is not None and not use_dense and (
-        solver.schur_solver == "pcg_chunked"
-        or problem.obs_pose.shape[0] >= solver.chunked_obs_threshold
+    use_dense_chunked = problem.pose_obs is not None and not use_dense and (
+        solver.schur_solver == "dense_chunked"
+        or (
+            solver.schur_solver == "auto"
+            and problem.poses_t.shape[0] <= solver.dense_chunked_max_poses
+        )
+    )
+    use_chunked = (
+        problem.pose_obs is not None
+        and not use_dense
+        and not use_dense_chunked
+        and (
+            solver.schur_solver == "pcg_chunked"
+            or problem.obs_pose.shape[0] >= solver.chunked_obs_threshold
+        )
     )
     # Pose-major path: observation inputs re-laid-out once per round (the
     # graph is static within a round; trimming between rounds mutates
@@ -1117,7 +1383,11 @@ def _optimize_round(
     use_pm = problem.pose_obs is not None
     if use_pm:
         pm = _build_pm_inputs(problem)
-        dense_plan = _dense_coupling_plan(problem) if use_dense else None
+        dense_plan = (
+            _dense_coupling_plan(problem)
+            if (use_dense or use_dense_chunked)
+            else None
+        )
     for it in range(start_iter, solver.max_iterations):
         if use_pm:
             r_pm, Jp_pm, Jl_pm, ro, Ji, Jj = _linearize_pm(
@@ -1128,6 +1398,11 @@ def _optimize_round(
                     pm, r_pm, Jp_pm, Jl_pm, ro, Ji, Jj, problem,
                     jnp.float32(lam), fix_first=solver.fix_first_pose,
                     plan=dense_plan,
+                )
+            elif use_dense_chunked:
+                d_pose, d_lm, cg_res = _solve_schur_dense_chunked_from_pm(
+                    pm, r_pm, Jp_pm, Jl_pm, ro, Ji, Jj, problem,
+                    jnp.float32(lam), solver.fix_first_pose, dense_plan,
                 )
             elif use_chunked:
                 d_pose, d_lm, cg_res = _solve_schur_pcg_posemajor_chunked_from_pm(
