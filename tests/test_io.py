@@ -164,6 +164,34 @@ def write_synthetic_bag(path: str, num_frames: int = 8) -> None:
 
 
 class TestCli:
+    def test_prefetch_producer_exits_on_abandonment(self):
+        """If the consumer abandons the prefetch generator early (SIGINT
+        break, --max_poses), the producer thread must exit instead of
+        blocking forever on the bounded queue (leaking decoded frames)."""
+        import threading
+        import time
+
+        from vision_slam_frontend_tpu.cli.slam_frontend import prefetch_events
+
+        def src():
+            for i in range(1000):
+                yield ("odom", float(i), None)
+
+        g = prefetch_events(src(), depth=2, to_device=False)
+        assert next(g)[0] == "odom"
+        g.close()  # consumer walks away with the queue full
+
+        def alive():
+            return any(
+                t.name == "vsf-prefetch" and t.is_alive()
+                for t in threading.enumerate()
+            )
+
+        deadline = time.time() + 5.0
+        while time.time() < deadline and alive():
+            time.sleep(0.05)
+        assert not alive(), "prefetch producer thread leaked after close()"
+
     def test_synthetic_end_to_end(self, tmp_path, capsys):
         from vision_slam_frontend_tpu.cli.slam_frontend import main
 

@@ -63,9 +63,16 @@ class BASolverConfig:
     #             loop (same math; the only form that compiles at N >= ~2.5M
     #             observations on this toolchain — BASELINE.md).
     schur_solver: str = "auto"
-    dense_max_poses: int = 1024
-    # "auto" uses the chunked dense assembly for dense_max_poses < P <= this
-    # (measured faster than PCG through P=2000 at L=100k — BASELINE.md r5).
+    # Round-5 crossover (BASELINE.md): fused dense compiles AND is fastest
+    # through P=2000 (3.2 vs PCG 2.9 it/s at L=100k); at P=3000 PCG wins on
+    # merit (Cholesky O(P^3) dominates, 1.6 vs 2.8) and P=5000 dense exceeds
+    # single-chip HBM — so "auto" is dense <= 2048, PCG above.
+    dense_max_poses: int = 2048
+    # "auto" uses the chunked dense assembly (multi-program, in-place HBM S)
+    # for dense_max_poses < P <= this; with the fused ceiling now at the
+    # same P as the measured crossover the window is empty by default —
+    # dense_chunked stays an explicit escape hatch for shapes/toolchains
+    # where the fused assembly won't compile.
     dense_chunked_max_poses: int = 2048
     # Above this observation count, "auto"/"pcg" switch to the chunked
     # multi-program PCG (the fused single program exceeds the remote compile
@@ -608,13 +615,19 @@ def _bbt_compensated(Bt_chunk, oh):
     computing hi hi^T + hi lo^T + (hi lo^T)^T cuts the error ~256x
     (min-eig +0.63) for 2x the MXU work — still far cheaper than f32.
 
-    Lowering matters: the natural einsum "lmis,lmp->pils" placement is
-    broadcast+reduce on this toolchain (~450 MB of (l,m,p,i,s) intermediate
-    per 8192-landmark chunk, 13 ms); the explicit dot_general pair below —
-    an l-batched (18, Ml)x(Ml, PW) slab build, then one (l, s)-contracting
-    MXU product that never materializes the (6PW, 3lc) slab in a fixed
-    layout — measures 4.7 ms for the same chunk (round-5 probe, bit-equal
-    to the einsum form up to bf16 rounding order).
+    Lowering matters, twice over:
+      - the natural einsum "lmis,lmp->pils" placement is broadcast+reduce on
+        this toolchain (~450 MB of (l,m,p,i,s) intermediate per
+        8192-landmark chunk, 13 ms); the explicit dot_general pair below —
+        an l-batched (18, Ml)x(Ml, PW) slab build, then one
+        (l, s)-contracting MXU product — measures 4.7 ms for the same chunk
+        (round-5 probe, bit-equal to the einsum form up to bf16 rounding);
+      - TPU's T(8,128) tiling pads a trailing dim-6 axis to 128, so a
+        (PW, 6, PW, 6) pose-major output materializes at 21x its logical
+        size (27.6 GB at PW=3000 — the round-5 P=3000 OOM). The result is
+        therefore returned I-MAJOR, (6, PW, 6, PW) — trailing (6, PW) tiles
+        cleanly — and the whole dense S pipeline works in that layout (a
+        symmetric permutation of S, so the Cholesky solve is unaffected).
     """
     P = oh.shape[-1]
     lc, Ml = Bt_chunk.shape[:2]
@@ -631,70 +644,84 @@ def _bbt_compensated(Bt_chunk, oh):
     dn2 = (((0, 2), (0, 2)), ((), ()))  # contract (l, s)
     HH = jax.lax.dot_general(B4h, B4h, dn2, preferred_element_type=jnp.float32)
     HL = jax.lax.dot_general(B4h, B4l, dn2, preferred_element_type=jnp.float32)
-    M = HH + HL + jnp.transpose(HL, (2, 3, 0, 1))  # (6, PW, 6, PW) sym pair
-    return jnp.transpose(M, (1, 0, 3, 2)).reshape(6 * P, 6 * P)
+    return HH + HL + jnp.transpose(HL, (2, 3, 0, 1))  # (6, PW, 6, PW)
 
 
-def _block_shift_place(blocks, col0: int):
-    """Place (P, 6, 6) blocks into a zero (6P, 6P) matrix with block p's
-    6x6 at rows 6p, columns col0 + 6p — pure pad-and-reshape, no scatter.
-
-    Lay each block at column col0 of a (6, 6P)-wide row group, append 6
-    zeros per group, and re-chunk rows of 6P: each successive group shifts
-    right one 6-column slot. col0=0 gives the block diagonal, col0=6 the
-    block superdiagonal (the last block then has no in-range slot and must
-    be zero — odometry chain factors guarantee that).
-    """
-    P = blocks.shape[0]
-    pad = jnp.pad(blocks, ((0, 0), (0, 0), (col0, 6 * P - 6 - col0)))
+def _diag_place(v, off: int):
+    """Place vector v (P,) on the (off)-superdiagonal of a zero (P, P)
+    matrix — pure pad-and-reshape, no scatter. off=0: main diagonal; off=1:
+    superdiagonal (v[P-1] then has no in-range slot and must be zero —
+    odometry chain factors guarantee that)."""
+    P = v.shape[0]
     Y = jnp.concatenate(
-        [pad.reshape(P, 36 * P), jnp.zeros((P, 6), blocks.dtype)], axis=1
-    )
-    return Y.reshape(-1)[: 36 * P * P].reshape(6 * P, 6 * P)
+        [
+            jnp.zeros((P, off), v.dtype),
+            v[:, None],
+            jnp.zeros((P, P - off), v.dtype),
+        ],
+        axis=1,
+    )  # (P, P+1): re-chunking rows of P shifts each row right by one
+    return Y.reshape(-1)[: P * P].reshape(P, P)
+
+
+def _block_place_im(blocks, off: int):
+    """Place (P, 6, 6) blocks on the (off)-super-block-diagonal of a zero
+    I-MAJOR (6, P, 6, P) matrix: out[i, p, j, p+off] = blocks[p, i, j].
+
+    36 vmapped _diag_place calls; every intermediate keeps a large trailing
+    axis (P), which tiles cleanly — the reason the dense pipeline is i-major
+    (see _bbt_compensated's layout note).
+    """
+    U36 = jnp.transpose(blocks, (1, 2, 0))  # (6, 6, P)
+    D = jax.vmap(jax.vmap(lambda v: _diag_place(v, off)))(U36)  # (6, 6, P, P)
+    return jnp.transpose(D, (0, 2, 1, 3))  # (6, P, 6, P)
 
 
 def _s_init(U_diag, Ji, Jj, odom_i, odom_j, extras):
-    """Scatter-free assembly of S's block diagonal + odometry coupling blocks.
+    """Scatter-free assembly of S's block diagonal + odometry coupling
+    blocks, in the I-MAJOR (6, P, 6, P) layout (S_im[i, p, j, q] =
+    S[6p+i, 6q+j] — a symmetric permutation of S, solved as-is).
 
     Scatters into a (P, 6, P, 6) operand (`.at[ar, :, ar, :].set` /
     `.at[oi, :, oj, :].add`) make the TPU compile helper plan ~26.7 GB and
     die at P >= 2000, and a lax.scan of per-factor 6x6 dynamic updates runs
     ~7 s at P=2000 on this toolchain (the (6P)^2 carry is copied per step,
     round-5 probes). Instead:
-      - block diagonal + chain-factor coupling via _block_shift_place: chain
+      - block diagonal + chain-factor coupling via _block_place_im: chain
         factors (j == i+1, every frontend odometry factor) reduce to a
         (P, 6, 6) band (small-operand scatter-add, fine on TPU), placed on
-        the block super-diagonal, symmetrized with one transpose;
+        the block super-diagonal, symmetrized with one cheap transpose;
       - non-chain factors (merge/loop-closure ties — host-static `extras`
         index tuple, usually empty) via a one-hot einsum over just those
         factors (None = no host plan: one-hot einsum over ALL factors,
         small-problem fallback).
     """
     P = U_diag.shape[0]
-    S2 = _block_shift_place(U_diag, 0)
+    S_im = _block_place_im(U_diag, 0)
     if odom_i is None:
-        return S2
+        return S_im
+
+    def sym(M):  # M + M^T in i-major land
+        return M + jnp.transpose(M, (2, 3, 0, 1))
+
     Koff = jnp.einsum("qia,qib->qab", Ji, Jj)
     if extras is None:
         oi = jax.nn.one_hot(odom_i, P, dtype=Koff.dtype)
         oj = jax.nn.one_hot(odom_j, P, dtype=Koff.dtype)
-        M = jnp.einsum("qab,qp,qr->parb", Koff, oi, oj).reshape(6 * P, 6 * P)
-        return S2 + M + M.T
+        return S_im + sym(jnp.einsum("qab,qp,qr->apbr", Koff, oi, oj))
     chain = odom_j == odom_i + 1
     # Masked factors carry zeroed Jacobians (Koff = 0) and padding ids fail
     # the chain test either way; dump non-chain rows into the P slot.
     band = jnp.zeros((P + 1, 6, 6), Koff.dtype)
     band = band.at[jnp.where(chain, odom_i, P)].add(Koff)
-    Sup = _block_shift_place(band[:P], 6)
-    S2 = S2 + Sup + Sup.T
+    S_im = S_im + sym(_block_place_im(band[:P], 1))
     if len(extras):
         idx = jnp.asarray(extras, jnp.int32)
         Ke = Koff[idx]
         oi = jax.nn.one_hot(odom_i[idx], P, dtype=Koff.dtype)
         oj = jax.nn.one_hot(odom_j[idx], P, dtype=Koff.dtype)
-        M = jnp.einsum("qab,qp,qr->parb", Ke, oi, oj).reshape(6 * P, 6 * P)
-        S2 = S2 + M + M.T
-    return S2
+        S_im = S_im + sym(jnp.einsum("qab,qp,qr->apbr", Ke, oi, oj))
+    return S_im
 
 
 def _dense_coupling_plan(problem: BAProblem, chunk: int = 8192, pw_multiple: int = 64):
@@ -848,26 +875,17 @@ def _dense_core(
         # Masked slots carry pose 0 but a zeroed Bt row: outside the window
         # they one-hot to nothing; inside they contribute exact zeros.
         oh = (pose_of[l0 : l0 + lc, :, None] - pmin) == arw[None, None, :]
-        bbt = _bbt_compensated(Bt[l0 : l0 + lc], oh)  # (6 PW, 6 PW)
-        a = 6 * pmin
-        S2 = S2.at[a : a + 6 * PW, a : a + 6 * PW].add(-bbt)
+        bbt = _bbt_compensated(Bt[l0 : l0 + lc], oh)  # (6, PW, 6, PW) i-major
+        S2 = S2.at[:, pmin : pmin + PW, :, pmin : pmin + PW].add(-bbt)
 
-    # --- Gauge: zero fixed rows/cols, identity on their diagonal blocks.
-    free6 = jnp.repeat(free, 6)
-    S2 = S2 * free6[:, None] * free6[None, :]
-    S2 = S2 + jnp.diag(1.0 - free6)
-
-    # --- Exact solve.
-    chol = jax.scipy.linalg.cholesky(S2, lower=True)
-    x = jax.scipy.linalg.cho_solve((chol, True), b.reshape(-1))
-    d_pose = gauge(x.reshape(P, 6))
-    rr = b - (S2 @ x).reshape(P, 6)
+    # --- Gauge + exact solve on the i-major-permuted system (_dense_solve).
+    d_pose, rrn = _dense_solve_core(S2, b, free)
 
     # --- Back-substitution (identical to the PCG path).
     y = jnp.einsum("pmij,pj->pmi", Jp_pm, d_pose)
     wtd = lm_reduce(jnp.einsum("pmij,pmi->pmj", Jl_pm, y))
     d_lm = jnp.einsum("ljk,lk->lj", V_inv, g_lm - wtd)
-    return d_pose, d_lm, jnp.linalg.norm(rr)
+    return d_pose, d_lm, rrn
 
 
 # Pose-major-input dense entry (the production path: _linearize_pm feeds it;
@@ -889,8 +907,9 @@ _solve_schur_dense_pm = jax.jit(_dense_core, static_argnames=("fix_first", "plan
 def _dense_prep(pm, r_pm, Jp_pm, Jl_pm, ro, Ji, Jj, problem: BAProblem, lm_damping, fix_first: bool, extras=None):
     """Everything before the coupling accumulation, as one program.
 
-    Returns a dict with the initial S (diag + odometry coupling, (6P, 6P)),
-    the gauged reduced RHS b, the per-landmark coupling slabs Bt = W G^{-T}
+    Returns a dict with the initial S (diag + odometry coupling) in the
+    i-major (6, P, 6, P) layout (see _bbt_compensated's layout note), the
+    gauged reduced RHS b, the per-landmark coupling slabs Bt = W G^{-T}
     laid out landmark-major, and the pieces back-substitution needs.
     """
     P = problem.poses_t.shape[0]
@@ -943,40 +962,49 @@ def _dense_prep(pm, r_pm, Jp_pm, Jl_pm, ro, Ji, Jj, problem: BAProblem, lm_dampi
 
 
 @partial(jax.jit, donate_argnums=(0,))
-def _dense_accum_banded(S2, Bt_chunk, pose_chunk, pmin, arw):
-    """S2 -= chunk's B B^T, placed in the (6*PW)^2 window at 6*pmin.
+def _dense_accum_banded(S_im, Bt_chunk, pose_chunk, pmin, arw):
+    """S_im -= chunk's B B^T, placed in the i-major PW-pose window at pmin.
 
     `arw` = jnp.arange(PW) carries the static window width; `pmin` is a
-    traced scalar so one compiled program serves every banded chunk. S2 is
-    donated: the update is in place in HBM.
+    traced scalar so one compiled program serves every banded chunk. S_im
+    ((6, P, 6, P)) is donated: the update is in place in HBM.
     """
     oh = (pose_chunk[:, :, None] - pmin) == arw[None, None, :]
-    bbt = _bbt_compensated(Bt_chunk, oh)
-    a = 6 * pmin
-    window = jax.lax.dynamic_slice(S2, (a, a), bbt.shape)
-    return jax.lax.dynamic_update_slice(S2, window - bbt, (a, a))
+    bbt = _bbt_compensated(Bt_chunk, oh)  # (6, PW, 6, PW)
+    PW = arw.shape[0]
+    window = jax.lax.dynamic_slice(
+        S_im, (0, pmin, 0, pmin), (6, PW, 6, PW)
+    )
+    return jax.lax.dynamic_update_slice(S_im, window - bbt, (0, pmin, 0, pmin))
 
 
 @partial(jax.jit, donate_argnums=(0,))
-def _dense_accum_full(S2, Bt_chunk, pose_chunk):
+def _dense_accum_full(S_im, Bt_chunk, pose_chunk):
     """Full-width placement for outlier chunks (loop-closure landmarks)."""
-    P = S2.shape[0] // 6
+    P = S_im.shape[1]
     oh = pose_chunk[:, :, None] == jnp.arange(P)[None, None, :]
-    return S2 - _bbt_compensated(Bt_chunk, oh)
+    return S_im - _bbt_compensated(Bt_chunk, oh)
 
 
-@jax.jit
-def _dense_solve(S2, b, free):
-    """Gauge + exact Cholesky solve of the assembled reduced camera system."""
-    free6 = jnp.repeat(free, 6)
-    S2 = S2 * free6[:, None] * free6[None, :]
+def _dense_solve_core(S_im, b, free):
+    """Gauge + exact Cholesky solve of the assembled reduced camera system,
+    in the i-major layout: the (6, P, 6, P) -> (6P, 6P) reshape is a
+    symmetric PERMUTATION of S (row/col order (i, p) instead of (p, i)), so
+    Cholesky factors it directly; only the tiny rhs/solution vectors are
+    re-ordered at the boundary."""
+    P = b.shape[0]
+    S_im = S_im * free[None, :, None, None] * free[None, None, None, :]
+    S2 = S_im.reshape(6 * P, 6 * P)  # free: i-major is contiguous row-major
+    free6 = jnp.tile(free, 6)  # i-major row order: index i*P + p
     S2 = S2 + jnp.diag(1.0 - free6)
     chol = jax.scipy.linalg.cholesky(S2, lower=True)
-    x = jax.scipy.linalg.cho_solve((chol, True), b.reshape(-1))
-    P = b.shape[0]
-    d_pose = x.reshape(P, 6) * free[:, None]
-    rr = b - (S2 @ x).reshape(P, 6)
+    x = jax.scipy.linalg.cho_solve((chol, True), b.T.reshape(-1))
+    d_pose = x.reshape(6, P).T * free[:, None]
+    rr = b - (S2 @ x).reshape(6, P).T
     return d_pose, jnp.linalg.norm(rr)
+
+
+_dense_solve = jax.jit(_dense_solve_core)
 
 
 @jax.jit

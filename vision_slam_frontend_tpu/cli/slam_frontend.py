@@ -130,6 +130,21 @@ def prefetch_events(
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     DONE = object()
+    # Consumer-abandonment protocol: if the consumer stops early (SIGINT
+    # break, --max_poses, generator close), it sets `stop` from the finally
+    # below; the producer's bounded put polls it so the thread exits instead
+    # of blocking forever on a full queue (leaking decoded frames + queued
+    # device buffers in embedded/library use).
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
@@ -137,6 +152,8 @@ def prefetch_events(
             import numpy as _np
 
             for kind, t, payload in events:
+                if stop.is_set():
+                    return
                 if to_device and kind == "stereo":
                     l, r = payload
                     payload = (
@@ -147,20 +164,24 @@ def prefetch_events(
                             _np.clip(_np.asarray(r), 0, 255).astype(_np.uint8)
                         ),
                     )
-                q.put((kind, t, payload))
-            q.put(DONE)
+                if not _put((kind, t, payload)):
+                    return
+            _put(DONE)
         except BaseException as e:  # propagate into the consumer
-            q.put(e)
+            _put(e)
 
     t = threading.Thread(target=producer, daemon=True, name="vsf-prefetch")
     t.start()
-    while True:
-        item = q.get()
-        if item is DONE:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is DONE:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 def detect_dataset(input_spec: str) -> str:

@@ -263,8 +263,13 @@ def keyframe_step(
         proj_v = params.intr_left.fy * pc[..., 1] / zsafe + params.intr_left.cy
         target = lu[w_idx]  # (W, K, 2) matched current pixels, undistorted
         err2 = (proj_u - target[..., 0]) ** 2 + (proj_v - target[..., 1]) ** 2
-        has_depth = (state.points3d[..., 2] > 0.1) & (z > 0.1)
-        ok = (err2 <= params.guided_radius**2) | ~has_depth
+        stored_valid = state.points3d[..., 2] > 0.1
+        has_depth = stored_valid & (z > 0.1)
+        # A window point with valid stored depth that predicts BEHIND the
+        # current camera (z <= 0) is geometrically impossible — reject it
+        # outright instead of passing it through as "no usable depth".
+        behind = stored_valid & (z <= 0.0)
+        ok = ((err2 <= params.guided_radius**2) | ~has_depth) & ~behind
         w_matched = w_matched & jnp.where(params.guided_radius > 0, ok, True)
 
     # --- 6. Track propagation (oldest-match-wins, then smallest distance).

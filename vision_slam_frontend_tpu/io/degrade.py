@@ -123,12 +123,17 @@ def write_degraded_bag(
     yaw_rate: float = None,
     seed: int = 9,
     step: float = 0.25,
+    seq_seed: int = 5,
 ):
     """Render -> degrade -> JPEG -> ROS bag; returns {timestamp: gt_cam_pos}.
 
     The production-pipeline fixture generator (used by the golden-bag
     accuracy tests AND the end-to-end bag bench): the closest available
     stand-in for the reference's real robot bag (reference: README.md:27-37).
+
+    `seed` controls only the photometric-degradation RNG; the rendered
+    scene/trajectory is pinned by `seq_seed` so the same world can be
+    degraded differently (vary `seq_seed` to get a different world).
     """
     from vision_slam_frontend_tpu.io import rosbag
     from vision_slam_frontend_tpu.io.image import encode_jpeg
@@ -150,7 +155,7 @@ def write_degraded_bag(
         conn_o = bag.get_connection("/odometry/filtered", "nav_msgs/Odometry", "*", "")
         frames = generate_sequence(
             num_frames=num_frames, step=step, rig=rig,
-            yaw_rate=yaw_rate, odom_drift=odom_drift, seed=5,
+            yaw_rate=yaw_rate, odom_drift=odom_drift, seed=seq_seed,
         )
         for i, f in enumerate(frames):
             gt[round(f.timestamp, 6)] = f.cam_pos.copy()

@@ -321,9 +321,7 @@ def _rotate_patches_90(patches: jnp.ndarray, quad: jnp.ndarray) -> jnp.ndarray:
     return sel.reshape(K, PATCH_AREA)
 
 
-def _describe_bits_mxu(
-    patches: jnp.ndarray, bins: jnp.ndarray, integer_inputs: bool = False
-) -> jnp.ndarray:
+def _describe_bits_mxu(patches: jnp.ndarray, bins: jnp.ndarray) -> jnp.ndarray:
     """Steered-BRIEF bits from flat patches via the quadrant-factored one-hot
     matmul: rotate the patch by the bin's 90deg quadrant (exact permutation),
     then evaluate only the NUM_FINE fine-rotation patterns as one
@@ -341,21 +339,14 @@ def _describe_bits_mxu(
     D = (pix == a[None, :]).astype(jnp.bfloat16) - (pix == b[None, :]).astype(
         jnp.bfloat16
     )  # (961, NUM_FINE*256)
-    if integer_inputs:
-        # 8-bit intensities are EXACT in bf16 (integers <= 256 fit the
-        # 8-bit mantissa): one matmul, no compensation needed.
-        diff = jax.lax.dot(
-            prot.astype(jnp.bfloat16), D, preferred_element_type=jnp.float32
-        ).reshape(-1, NUM_FINE, NUM_BITS)
-    else:
-        # Hi/lo bf16 split: bf16 would round patch values by up to ~0.5
-        # intensity units and flip near-tie bits vs the gather path; two
-        # matmuls with f32 accumulation recover ~16-bit input precision, so
-        # both methods produce identical bits (2x MXU work, still ~0.1 ms).
-        hi = prot.astype(jnp.bfloat16)
-        lo = (prot - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        dot = lambda x: jax.lax.dot(x, D, preferred_element_type=jnp.float32)
-        diff = (dot(hi) + dot(lo)).reshape(-1, NUM_FINE, NUM_BITS)
+    # Hi/lo bf16 split: bf16 would round patch values by up to ~0.5
+    # intensity units and flip near-tie bits vs the gather path; two
+    # matmuls with f32 accumulation recover ~16-bit input precision, so
+    # both methods produce identical bits (2x MXU work, still ~0.1 ms).
+    hi = prot.astype(jnp.bfloat16)
+    lo = (prot - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dot = lambda x: jax.lax.dot(x, D, preferred_element_type=jnp.float32)
+    diff = (dot(hi) + dot(lo)).reshape(-1, NUM_FINE, NUM_BITS)
     mine = jnp.take_along_axis(diff, fine[:, None, None], axis=1)[:, 0, :]
     return (mine < 0).astype(jnp.uint32)  # (K, 256)
 
