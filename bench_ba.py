@@ -17,7 +17,7 @@ import time
 import numpy as np
 
 
-def make_problem(P, L, obs_per_lm, seed=0):
+def make_problem(P, L, obs_per_lm, seed=0, return_gt=False, clean=False):
     import jax.numpy as jnp
 
     from vision_slam_frontend_tpu.types.slam_types import BAProblem
@@ -65,19 +65,34 @@ def make_problem(P, L, obs_per_lm, seed=0):
     px = np.stack(
         [500.0 * rel[:, 0] / z + 320.0, 500.0 * rel[:, 1] / z + 240.0], -1
     ) + rng.normal(0, 0.5, (N, 2))
+    # `clean`: mask observations whose geometry is invalid — wraparound
+    # observers behind the landmark (rel_z < 0.5, whose pixels above come
+    # from the z clamp and are ~1e4 px of pure garbage) and projections far
+    # outside any plausible sensor. The default keeps them (the timing
+    # benchmark's layout is unchanged and its full-width outlier-chunk case
+    # depends on them); the at-scale ACCURACY pin uses clean=True, matching
+    # what production problems look like after the frontend's epipolar +
+    # guided-match gates (tests/test_ba_scale_accuracy.py).
+    valid = np.ones(N, bool)
+    if clean:
+        valid = (
+            (rel[:, 2] >= 0.5)
+            & (np.abs(px[:, 0] - 320.0) < 1000.0)
+            & (np.abs(px[:, 1] - 240.0) < 1000.0)
+        )
     pad = (-N) % 1024
     if pad:
         obs_pose = np.pad(obs_pose, (0, pad))
         obs_lm = np.pad(obs_lm, (0, pad))
         px = np.pad(px, ((0, pad), (0, 0)))
     mask = np.zeros(N + pad, bool)
-    mask[:N] = True
+    mask[:N] = valid
     from vision_slam_frontend_tpu.backend.tracks import build_gather_tables
 
     pose_obs, pose_obs_mask, lm_obs, lm_obs_mask = build_gather_tables(
         obs_pose, obs_lm, mask, P, L
     )
-    return BAProblem(
+    prob = BAProblem(
         poses_t=jnp.asarray(gt_t + rng.normal(0, 0.05, gt_t.shape), jnp.float32),
         poses_q=jnp.asarray(q0),
         pose_mask=jnp.ones(P, bool),
@@ -97,6 +112,11 @@ def make_problem(P, L, obs_per_lm, seed=0):
         lm_obs=jnp.asarray(lm_obs),
         lm_obs_mask=jnp.asarray(lm_obs_mask),
     )
+    if return_gt:
+        # Ground truth for at-scale accuracy pins (tests/test_ba_scale_accuracy):
+        # the noiseless trajectory + landmarks the pixels were rendered from.
+        return prob, gt_t, lm
+    return prob
 
 
 def _bench_config(P, L, obs_per_lm, solver, cg_iters, n_iters=10, with_mfu=False):

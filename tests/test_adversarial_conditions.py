@@ -47,9 +47,30 @@ CONDITIONS = {
         contrast=0.35,
         seq=dict(step=0.25, yaw_rate=2 * np.pi / 210),
     ),
+    # Camera roll: 12 deg/frame in-plane rotation (a full revolution over
+    # the run) + a slow downward pitch — stresses descriptor orientation
+    # steering and the rotation half of the keyframe gate directly
+    # (reference gate src/slam_frontend.cc:557-558); the planar-motion
+    # conditions above never exercise roll at all (round-4 verdict item 8).
+    "camera_roll": dict(
+        degrader=dict(seed=7, max_blur_px=2.0),
+        seq=dict(step=0.1, yaw_rate=0.0,
+                 roll_rate=np.deg2rad(12.0), pitch_rate=np.deg2rad(-0.8)),
+    ),
+    # Forward approach: 0.7 m/frame straight at the scene — fast texture
+    # scale change between consecutive keyframes, stressing the
+    # single-level descriptor assumption (scale mismatch across the match
+    # window) the translation+yaw conditions never produce.
+    "forward_approach": dict(
+        degrader=dict(seed=8, max_blur_px=2.0),
+        seq=dict(step=0.7, yaw_rate=0.0),
+    ),
 }
 
-FAMILIES = ["orb", "brisk", "akaze"]
+# All Hamming families + the float/L2 family: the full registered set
+# (round-4 verdict: sift was the one family with golden but no adversarial
+# coverage; freak is new in round 5).
+FAMILIES = ["orb", "brisk", "akaze", "sift", "freak"]
 
 
 def _run(condition: str, family: str):

@@ -251,9 +251,20 @@ class TestDenseSchur:
             np.asarray(dp_d), np.asarray(dp_p), atol=8e-2 * scale
         )
         lscale = np.abs(np.asarray(dl_p)).max()
-        np.testing.assert_allclose(
-            np.asarray(dl_d), np.asarray(dl_p), atol=8e-2 * lscale
+        # Landmark steps: the dense path deliberately floors per-landmark
+        # damping at 1e-5 of the local V trace (the at-scale f32 Cholesky
+        # stability fix, backend/ba.py round 5) while PCG damps with a flat
+        # lambda*I — so NEAR-DEGENERATE landmarks (V min-eig below the
+        # floor) legitimately receive different (both meaningless)
+        # null-direction updates. Require elementwise agreement on all but
+        # a <=2% degenerate tail, plus global direction alignment.
+        dl_d_np, dl_p_np = np.asarray(dl_d), np.asarray(dl_p)
+        viol = np.abs(dl_d_np - dl_p_np) > 8e-2 * lscale
+        assert viol.mean() <= 0.02, f"{viol.mean():.3%} of d_lm elements diverge"
+        cos = (dl_d_np * dl_p_np).sum() / max(
+            np.linalg.norm(dl_d_np) * np.linalg.norm(dl_p_np), 1e-12
         )
+        assert cos > 0.99, f"d_lm direction misaligned: cos={cos:.4f}"
 
     def test_chunked_pcg_matches_fused_step(self):
         """The multi-program pose-major PCG (the N>=2.5M compile-ceiling

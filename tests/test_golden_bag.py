@@ -45,6 +45,9 @@ FAMILY_GOLDEN = {
     # measured: ate_ba 0.164, lm 1344, obs 4062, feats 122.4/49
     "sift": {"ate_ba_max": 0.25, "min_landmarks": 900, "min_feats_mean": 80,
              "min_feats_min": 30},
+    # measured (round 5): ate_ba 0.082, lm 997, obs 2914, feats 97.1/41
+    "freak": {"ate_ba_max": 0.13, "min_landmarks": 660, "min_feats_mean": 65,
+              "min_feats_min": 27},
 }
 
 

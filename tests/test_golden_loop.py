@@ -52,6 +52,9 @@ FAMILY_GOLDEN = {
     # measured: ate_ba 0.660, lm 2782, obs 8828, feats 148.0/63
     "sift": {"ate_ba_max": 0.99, "min_landmarks": 1850, "min_obs": 5900,
              "min_feats_mean": 98, "min_feats_min": 42, "beats_odom": False},
+    # measured (round 5): ate_ba 0.169, lm 3030, obs 9659, feats 140.8/58
+    "freak": {"ate_ba_max": 0.26, "min_landmarks": 2000, "min_obs": 6400,
+              "min_feats_mean": 94, "min_feats_min": 38, "beats_odom": True},
 }
 
 

@@ -124,9 +124,12 @@ class TestOptimizeSegments:
         )
 
     def test_beyond_dense_ceiling(self, mesh8):
-        """P well above dense_max_poses (1024): the regime where the global
+        """P well above dense_max_poses: the regime where the global
         6P x 6P dense solver is out of reach; segments + sharded-PCG polish
-        must still converge. This is the long-trajectory scaling path."""
+        must still converge. This is the long-trajectory scaling path.
+        (dense_max_poses is pinned below P here — the DEFAULT grew to 2048
+        in round 5 when the fused dense ceiling moved; this test is about
+        the segment machinery in the beyond-dense regime, not the default.)"""
         import jax.numpy as jnp
 
         from vision_slam_frontend_tpu.backend.ba import compute_cost
@@ -136,7 +139,9 @@ class TestOptimizeSegments:
             P=P, L=8192, obs_per_lm=4, seed=7, stereo=True,
             pose_noise=0.01, pose_walk=0.02,
         )
-        solver = BASolverConfig(max_iterations=8)
+        solver = BASolverConfig(
+            max_iterations=8, dense_max_poses=1024, dense_chunked_max_poses=1024
+        )
         assert problem.poses_t.shape[0] > solver.dense_max_poses
         opt, info = optimize_segments(
             problem, mesh=mesh8, cam=cam, solver=solver, n_seg=8, sweeps=2,

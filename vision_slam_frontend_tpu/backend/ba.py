@@ -631,20 +631,37 @@ def _bbt_compensated(Bt_chunk, oh):
     """
     P = oh.shape[-1]
     lc, Ml = Bt_chunk.shape[:2]
-    hi = Bt_chunk.astype(jnp.bfloat16)
-    lo = (Bt_chunk - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    f32 = Bt_chunk.astype(jnp.float32)
+    hi = f32.astype(jnp.bfloat16)
+    f32 = f32 - hi.astype(jnp.float32)
+    mid = f32.astype(jnp.bfloat16)
+    lo = (f32 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
     ohb = oh.astype(jnp.bfloat16)
     dn = (((1,), (1,)), ((0,), (0,)))  # contract m, batch l
-    B4h = jax.lax.dot_general(
-        hi.reshape(lc, Ml, 18), ohb, dn, preferred_element_type=jnp.bfloat16
-    ).reshape(lc, 6, 3, P)
-    B4l = jax.lax.dot_general(
-        lo.reshape(lc, Ml, 18), ohb, dn, preferred_element_type=jnp.bfloat16
-    ).reshape(lc, 6, 3, P)
     dn2 = (((0, 2), (0, 2)), ((), ()))  # contract (l, s)
-    HH = jax.lax.dot_general(B4h, B4h, dn2, preferred_element_type=jnp.float32)
-    HL = jax.lax.dot_general(B4h, B4l, dn2, preferred_element_type=jnp.float32)
-    return HH + HL + jnp.transpose(HL, (2, 3, 0, 1))  # (6, PW, 6, PW)
+
+    def place(x):
+        return jax.lax.dot_general(
+            x.reshape(lc, Ml, 18), ohb, dn, preferred_element_type=jnp.bfloat16
+        ).reshape(lc, 6, 3, P)
+
+    def dot2(a, b):
+        return jax.lax.dot_general(a, b, dn2, preferred_element_type=jnp.float32)
+
+    def symT(M):
+        return jnp.transpose(M, (2, 3, 0, 1))
+
+    Bh, Bm, Bl = place(hi), place(mid), place(lo)
+    # B = h + m + l (3 x bf16 ~ 24 mantissa bits, f32-class): keep terms down
+    # to 2^-16 relative — hh + (hm + mh) + (hl + lh) + mm; ml/ll (~2^-24
+    # relative) are dropped. The two-term hi/lo form's 2^-16-relative error
+    # reached ~7e7 ABSOLUTE on the at-scale |B| tail and made the compensated
+    # S indefinite (round-5 probe at P=100/L=20k) -> NaN Cholesky.
+    HH = dot2(Bh, Bh)
+    HM = dot2(Bh, Bm)
+    HL = dot2(Bh, Bl)
+    MM = dot2(Bm, Bm)
+    return HH + MM + HM + symT(HM) + HL + symT(HL)  # (6, PW, 6, PW)
 
 
 def _diag_place(v, off: int):
@@ -819,7 +836,20 @@ def _dense_core(
 
     # Landmark blocks + factorization.
     VV = jnp.einsum("pmij,pmik->pmjk", Jl_pm, Jl_pm).reshape(P, Mp, 9)
-    V = lm_reduce(VV).reshape(L, 3, 3) + lm_damping * jnp.eye(3)[None]
+    V = lm_reduce(VV).reshape(L, 3, 3)
+    # Trace-relative damping floor: with plain lm_damping (~1e-3) against
+    # V ~ 1e6, cond(V) reaches ~1e9 and the f32 3x3 Cholesky's pivot
+    # cancellation produces garbage factors — B = W G^{-T} inflates ~100x
+    # and the EXACT S built from it is indefinite (measured min-eig -2e12 at
+    # P=100/L=20k) -> NaN. Flooring per-landmark damping at 1e-5 of the
+    # local trace caps cond(V) at ~3e5 (f32-factorable); for well-conditioned
+    # landmarks this is a ~3e-5 relative perturbation, for degenerate ones
+    # it damps exactly the unconstrained directions. Applied consistently to
+    # the factorization, elimination, AND back-substitution, so the Schur
+    # algebra stays self-consistent (it is per-landmark-scaled LM damping).
+    trV = V[..., 0, 0] + V[..., 1, 1] + V[..., 2, 2]
+    vfloor = jnp.maximum(lm_damping, 1e-5 * trV / 3.0)[..., None, None]
+    V = V + vfloor * jnp.eye(3)[None]
     V_inv = _sym3_inv(V)
     Ginv = _inv_lower3(_chol3(V))  # V^{-1} = Ginv^T Ginv
 
@@ -926,7 +956,20 @@ def _dense_prep(pm, r_pm, Jp_pm, Jl_pm, ro, Ji, Jj, problem: BAProblem, lm_dampi
         return jnp.sum(flat[lm_tbl] * lm_mask, axis=1)
 
     VV = jnp.einsum("pmij,pmik->pmjk", Jl_pm, Jl_pm).reshape(P, Mp, 9)
-    V = lm_reduce(VV).reshape(L, 3, 3) + lm_damping * jnp.eye(3)[None]
+    V = lm_reduce(VV).reshape(L, 3, 3)
+    # Trace-relative damping floor: with plain lm_damping (~1e-3) against
+    # V ~ 1e6, cond(V) reaches ~1e9 and the f32 3x3 Cholesky's pivot
+    # cancellation produces garbage factors — B = W G^{-T} inflates ~100x
+    # and the EXACT S built from it is indefinite (measured min-eig -2e12 at
+    # P=100/L=20k) -> NaN. Flooring per-landmark damping at 1e-5 of the
+    # local trace caps cond(V) at ~3e5 (f32-factorable); for well-conditioned
+    # landmarks this is a ~3e-5 relative perturbation, for degenerate ones
+    # it damps exactly the unconstrained directions. Applied consistently to
+    # the factorization, elimination, AND back-substitution, so the Schur
+    # algebra stays self-consistent (it is per-landmark-scaled LM damping).
+    trV = V[..., 0, 0] + V[..., 1, 1] + V[..., 2, 2]
+    vfloor = jnp.maximum(lm_damping, 1e-5 * trV / 3.0)[..., None, None]
+    V = V + vfloor * jnp.eye(3)[None]
     V_inv = _sym3_inv(V)
     Ginv = _inv_lower3(_chol3(V))
 
@@ -997,8 +1040,24 @@ def _dense_solve_core(S_im, b, free):
     S2 = S_im.reshape(6 * P, 6 * P)  # free: i-major is contiguous row-major
     free6 = jnp.tile(free, 6)  # i-major row order: index i*P + p
     S2 = S2 + jnp.diag(1.0 - free6)
-    chol = jax.scipy.linalg.cholesky(S2, lower=True)
-    x = jax.scipy.linalg.cho_solve((chol, True), b.T.reshape(-1))
+    # Jacobi equilibration: at small LM damping the raw S's condition number
+    # reaches ~1e12 (diag spans rotation vs translation blocks and pose
+    # observation counts), past what an f32 Cholesky can factor; scaling by
+    # d = diag(S)^{-1/2} is exact (D S D with the solve rescaled) and brings
+    # cond into f32 range — the standard dense-BA practice.
+    d = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(S2), 1e-20))
+    S2e = S2 * d[:, None] * d[None, :]
+    # Assembly-noise ridge: the f32/compensated-bf16 coupling accumulates
+    # ~1e-7 relative error of |S| (measured equilibrated min-eig -2.5e-4 at
+    # P=100/L=20k), which swamps the exact system's smallest eigenvalues at
+    # small LM damping and makes Cholesky NaN. A 1e-3 ridge on the
+    # EQUILIBRATED matrix is Marquardt-style diag-relative damping at 4x the
+    # measured noise floor — it guarantees positive definiteness while
+    # perturbing the step by ~0.1% of each coordinate's own curvature.
+    S2e = S2e + 1e-3 * jnp.eye(S2e.shape[0], dtype=S2e.dtype)
+    chol = jax.scipy.linalg.cholesky(S2e, lower=True)
+    xe = jax.scipy.linalg.cho_solve((chol, True), b.T.reshape(-1) * d)
+    x = xe * d
     d_pose = x.reshape(6, P).T * free[:, None]
     rr = b - (S2 @ x).reshape(6, P).T
     return d_pose, jnp.linalg.norm(rr)

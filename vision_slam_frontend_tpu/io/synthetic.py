@@ -160,6 +160,8 @@ def generate_sequence(
     seed: int = 0,
     odom_drift: float = 0.0,
     texture_noise: float = 2.0,
+    roll_rate: float = 0.0,
+    pitch_rate: float = 0.0,
 ) -> Iterator[StereoFrame]:
     """A forward-moving, slowly-yawing stereo trajectory over the plane.
 
@@ -179,15 +181,30 @@ def generate_sequence(
     rng = np.random.default_rng(seed + 12345)
     pos = np.zeros(3)
     yaw = 0.0
+    roll = 0.0
+    pitch = 0.0
     drift = np.zeros(3)
     for i in range(num_frames):
         cy, sy = np.cos(yaw), np.sin(yaw)
         # Yaw about the camera's -y (up) axis.
         R = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float64)
+        q = np.array([np.cos(yaw / 2), 0.0, np.sin(yaw / 2), 0.0])  # yaw about +y
+        if roll_rate != 0.0 or pitch_rate != 0.0:
+            # Full 3-DoF attitude: R = R_y(yaw) R_x(pitch) R_z(roll), with
+            # the quaternion composed in the same order. Roll spins the
+            # image in-plane (camera +z); pitch tilts the horizon (camera
+            # +x; NEGATIVE pitch looks down in the y-down convention).
+            cp, sp = np.cos(pitch), np.sin(pitch)
+            cr, sr = np.cos(roll), np.sin(roll)
+            Rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]], np.float64)
+            Rz = np.array([[cr, -sr, 0], [sr, cr, 0], [0, 0, 1]], np.float64)
+            R = R @ Rx @ Rz
+            qx = np.array([np.cos(pitch / 2), np.sin(pitch / 2), 0.0, 0.0])
+            qz = np.array([np.cos(roll / 2), 0.0, 0.0, np.sin(roll / 2)])
+            q = np_geom.quat_multiply(np_geom.quat_multiply(q, qx), qz)
         left = scene.render(K, R, pos, rig.height, rig.width)
         right_pos = pos + R @ np.array([rig.baseline, 0.0, 0.0])
         right = scene.render(K, R, right_pos, rig.height, rig.width)
-        q = np.array([np.cos(yaw / 2), 0.0, np.sin(yaw / 2), 0.0])  # yaw about +y
         if odom_drift > 0 and i > 0:
             drift = drift + rng.normal(0.0, odom_drift, 3)
         yield StereoFrame(
@@ -201,6 +218,8 @@ def generate_sequence(
         )
         pos = pos + R @ np.array([0.0, 0.0, step])
         yaw += yaw_rate
+        roll += roll_rate
+        pitch += pitch_rate
 
 
 def synthetic_ba_problem(

@@ -95,6 +95,15 @@ def _register_builtins() -> None:
     from vision_slam_frontend_tpu.ops.sift import detect_and_describe_sift
 
     register_family("sift", detect_and_describe_sift, distance="l2", words=128)
+    # FREAK family: retinal pattern (exponentially-spaced overlapping
+    # fields), coarse-to-fine pair cascade, FAST detector — the reference's
+    # FREAK branch (src/slam_frontend.cc:235-239, FAST + FREAK behind
+    # USE_XFEATURES). 512 bits in 16 words, Hamming matching.
+    from vision_slam_frontend_tpu.ops.freak import detect_and_describe_freak
+
+    register_family(
+        "freak", detect_and_describe_freak, distance="hamming", words=16
+    )
 
 
 _register_builtins()
