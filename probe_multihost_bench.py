@@ -13,7 +13,7 @@ cost that anchors the analytic model's t_comm (parallel/comm_report.py);
 both runs also report the HLO-extracted collective bytes/counts so the
 measured point and the model line up on the same numbers.
 
-Usage: python probe_multihost_bench.py [L] [P] [iters]
+Usage: python probe_multihost_bench.py [L] [P] [iters] [cg_iters]
 """
 
 from __future__ import annotations
@@ -31,7 +31,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def run_config(num_processes: int, local_devices: int, L: int, P: int, iters: int):
+def run_config(num_processes: int, local_devices: int, L: int, P: int, iters: int, cg: int = 32):
     repo = os.path.dirname(os.path.abspath(__file__))
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
@@ -48,6 +48,7 @@ def run_config(num_processes: int, local_devices: int, L: int, P: int, iters: in
                 "--bench_iters", str(iters),
                 "--landmarks", str(L),
                 "--poses", str(P),
+                "--cg_iters", str(cg),
             ],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env, cwd=repo,
@@ -70,8 +71,13 @@ def main():
     L = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
     P = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 5
-    two = run_config(2, 4, L, P, iters)
-    one = run_config(1, 8, L, P, iters)
+    # cg is the second-measured-point lever (round-4 verdict item 5): cg=32
+    # is bandwidth-weighted (most collectives live in the CG loop), cg=8
+    # shifts the mix toward the once-per-iteration + per-collective latency
+    # terms — two points that move ONE term of the alpha/W model apart.
+    cg = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    two = run_config(2, 4, L, P, iters, cg)
+    one = run_config(1, 8, L, P, iters, cg)
     t2 = max(r["sec_per_lm_iter"] for r in two)  # slowest process gates
     t1 = one[0]["sec_per_lm_iter"]
     print(json.dumps({
