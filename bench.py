@@ -270,6 +270,55 @@ def bench_bag_pipeline(num_frames=150):
     return run("bench")
 
 
+def bench_longrun(num_frames=1000, local_ba=8):
+    """Long-run production soak (round-4 verdict item 6): a 1000-frame bag
+    through the REAL CLI with windowed local BA interleaved on the chip —
+    proves the accumulator, viewer-free hot loop, checkpointing, and memory
+    stay flat and sustained fps holds over a full-length session, not just
+    the 150-frame pipeline proof. Reports sustained fps, per-frame latency
+    percentiles, and peak RSS (parsed from the CLI's [perf] lines).
+    """
+    import contextlib
+    import io as _io
+    import re
+    import tempfile
+
+    from vision_slam_frontend_tpu.cli.slam_frontend import main
+    from vision_slam_frontend_tpu.frontend.config import FrontendConfig
+    from vision_slam_frontend_tpu.io.degrade import write_degraded_bag
+    from vision_slam_frontend_tpu.io.synthetic import SyntheticRig
+
+    tmp = tempfile.mkdtemp(prefix="vsf_bench_long_")
+    rig = SyntheticRig()
+    bag = f"{tmp}/long.bag"
+    write_degraded_bag(bag, rig=rig, num_frames=num_frames)
+    cfg = f"{tmp}/rig.yaml"
+    FrontendConfig(calib=rig.calib(), max_features=512, frame_life=10,
+                   fast_threshold=12.0).save(cfg)
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--input", bag, "--output", f"{tmp}/out.npz",
+                   "--config", cfg, "--local_ba", str(local_ba),
+                   "--checkpoint_every", "100"])
+    assert rc == 0, buf.getvalue()[-500:]
+    out = buf.getvalue()
+    m = re.search(r"\[perf\] (\d+) stereo frames, (\d+) keyframes in ([0-9.]+)s", out)
+    m2 = re.search(
+        r"\[perf\] frame latency ms p50=([0-9.]+) p90=([0-9.]+) p99=([0-9.]+) "
+        r"max=([0-9.]+); peak RSS (\d+) MB", out,
+    )
+    assert m and m2, out[-800:]
+    frames, kf, sec = int(m.group(1)), int(m.group(2)), float(m.group(3))
+    return {
+        "frames": frames, "keyframes": kf, "local_ba_window": local_ba,
+        "fps": round(frames / sec, 2),
+        "latency_ms": {"p50": float(m2.group(1)), "p90": float(m2.group(2)),
+                       "p99": float(m2.group(3)), "max": float(m2.group(4))},
+        "peak_rss_mb": int(m2.group(5)),
+    }
+
+
 def pallas_parity_check():
     """On-chip Mosaic-vs-XLA parity: certifies the compiled Pallas kernels
     still agree with the XLA reference path on real hardware each round
@@ -385,7 +434,9 @@ def regression_sweep() -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["step", "frontend"], default="step")
+    ap.add_argument("--mode", choices=["step", "frontend", "longrun"], default="step")
+    ap.add_argument("--frames", type=int, default=1000, help="longrun frame count")
+    ap.add_argument("--local_ba", type=int, default=8, help="longrun local BA window")
     ap.add_argument("--k", type=int, default=512)
     ap.add_argument("--window", type=int, default=10)
     ap.add_argument("--levels", type=int, default=1)
@@ -398,6 +449,18 @@ def main() -> None:
                     help="headline only: skip the K=8192 + BA regression sweep")
     args = ap.parse_args()
 
+    if args.mode == "longrun":
+        r = bench_longrun(num_frames=args.frames, local_ba=args.local_ba)
+        fps = r.pop("fps")
+        print(json.dumps({
+            "metric": "e2e_longrun_local_ba_fps",
+            "value": fps,
+            "unit": f"frames/s ({r['frames']} frames, local BA window "
+                    f"{r['local_ba_window']}, incl. IO + checkpoints)",
+            "vs_baseline": round(fps / 30.0, 3),
+            **r,
+        }))
+        return
     if args.mode == "frontend":
         r = bench_frontend(args.k, args.window, args.unique_frames,
                            num_levels=args.levels, family=args.family)

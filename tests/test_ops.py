@@ -328,8 +328,10 @@ class TestDescriptorRegistry:
 
         from vision_slam_frontend_tpu.ops.descriptors import get_family
 
+        # surf: the one reference extractor name deliberately out of scope
+        # (README: sift covers its float/L2 class) — must fail with the menu.
         with pytest.raises(ValueError, match="registered.*orb"):
-            get_family("freak")
+            get_family("surf")
 
     def test_config_validates_family(self):
         import pytest

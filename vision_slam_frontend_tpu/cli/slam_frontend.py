@@ -392,6 +392,7 @@ def main(argv=None) -> int:
     print(f"Processing {args.input}")
     t_start = time.perf_counter()
     frames_seen = 0
+    frame_lat: list = []  # per-stereo-frame host-loop latency samples
     try:
         events = iter(events)
         first = next(events, None)
@@ -416,6 +417,7 @@ def main(argv=None) -> int:
         else:
             left, right = payload
             frames_seen += 1
+            t_frame = time.perf_counter()
             added = frontend.observe_image(left, right, t)
             if args.interrupt_after > 0 and frames_seen >= args.interrupt_after:
                 signal.raise_signal(signal.SIGINT)
@@ -454,6 +456,10 @@ def main(argv=None) -> int:
                 last_ckpt_poses = n_poses
                 if args.verbosity > 0:
                     print(f"[checkpoint] {n_poses} poses -> {ckpt_path}")
+            # Per-frame latency sample: everything a stereo frame costs on
+            # the host loop (step dispatch + local BA + viewer + checkpoint),
+            # for the long-run percentile report below.
+            frame_lat.append(time.perf_counter() - t_frame)
             if args.max_poses > 0 and n_poses >= args.max_poses:
                 break
     elapsed = time.perf_counter() - t_start
@@ -485,6 +491,20 @@ def main(argv=None) -> int:
         f"({frames_seen / max(elapsed, 1e-9):.1f} frames/s, "
         f"{n_poses / max(elapsed, 1e-9):.1f} keyframes/s)"
     )
+    if frame_lat:
+        # Long-run observability: latency percentiles over the whole run
+        # (every stereo frame's host-loop cost, local BA / viewer /
+        # checkpoint included) + peak RSS — the memory-stays-flat and
+        # tail-latency evidence a production deployment watches.
+        import resource
+
+        lat = np.sort(np.asarray(frame_lat))
+        p = lambda q: lat[min(int(q * len(lat)), len(lat) - 1)] * 1000
+        rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+        print(
+            f"[perf] frame latency ms p50={p(0.50):.1f} p90={p(0.90):.1f} "
+            f"p99={p(0.99):.1f} max={lat[-1] * 1000:.1f}; peak RSS {rss_mb:.0f} MB"
+        )
     if args.verbosity > 0 and frontend.stats_summary():
         print(f"[stats] {frontend.stats_summary()}")
 
