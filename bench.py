@@ -413,6 +413,13 @@ def regression_sweep() -> dict:
         out["e2e_bag_pipeline"] = bench_bag_pipeline()
     except Exception as e:
         out["e2e_bag_pipeline"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    try:
+        # Long-run soak at artifact-friendly size (the full 1000-frame row
+        # lives in BASELINE.md): sustained fps with windowed local BA
+        # interleaved + latency percentiles + peak RSS (verdict item 6).
+        out["e2e_longrun_local_ba"] = bench_longrun(num_frames=300, local_ba=8)
+    except Exception as e:
+        out["e2e_longrun_local_ba"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     import bench_ba
 
     for solver, key, base, base_key in (

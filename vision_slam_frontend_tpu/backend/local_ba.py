@@ -50,6 +50,129 @@ def slice_problem(problem: SLAMProblem, start: int) -> SLAMProblem:
     return out
 
 
+def _pad_up(n: int, mult: int) -> int:
+    return max(mult, -(-n // mult) * mult)
+
+
+def _pad_ba_for_device(ba, n_poses: int, lm_mult: int = 512, obs_mult: int = 2048, odom_cap: int = 32):
+    """Pad a (numpy) BAProblem to bucketed capacities so the device LM
+    program compiles a handful of times per session instead of per keyframe.
+    Padded poses are masked AND frozen (no factors touch them); padded
+    observations/landmarks/odometry are masked out."""
+    P0 = ba.poses_t.shape[0]
+    L0 = ba.landmarks.shape[0]
+    N0 = ba.obs_pose.shape[0]
+    Q0 = ba.odom_i.shape[0]
+    P = max(n_poses, P0)
+    L = _pad_up(L0, lm_mult)
+    N = _pad_up(N0, obs_mult)
+    Q = max(odom_cap, Q0)
+
+    def padn(a, n, fill=0):
+        pad = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+        return np.pad(np.asarray(a), pad, constant_values=fill)
+
+    fixed = padn(np.asarray(ba.pose_fixed, bool) if ba.pose_fixed is not None
+                 else np.zeros(P0, bool), P, fill=True)
+    q_pad = padn(ba.poses_q, P)
+    q_pad[P0:, 0] = 1.0  # identity quaternions on padded poses
+    oq_pad = padn(ba.odom_q, Q)
+    oq_pad[Q0:, 0] = 1.0
+    return ba.replace(
+        poses_t=padn(ba.poses_t, P),
+        poses_q=q_pad,
+        pose_mask=padn(ba.pose_mask, P),
+        pose_fixed=fixed,
+        landmarks=padn(ba.landmarks, L),
+        landmark_mask=padn(ba.landmark_mask, L),
+        obs_pose=padn(ba.obs_pose, N),
+        obs_landmark=padn(ba.obs_landmark, N),
+        obs_pixel=padn(ba.obs_pixel, N),
+        obs_mask=padn(ba.obs_mask, N),
+        obs_pixel_right=(padn(ba.obs_pixel_right, N)
+                         if ba.obs_pixel_right is not None else None),
+        obs_right_mask=(padn(ba.obs_right_mask, N)
+                        if ba.obs_right_mask is not None else None),
+        odom_i=padn(ba.odom_i, Q),
+        odom_j=padn(ba.odom_j, Q),
+        odom_t=padn(ba.odom_t, Q),
+        odom_q=oq_pad,
+        odom_mask=padn(ba.odom_mask, Q),
+        # Scatter formulation on device: no gather tables needed.
+        pose_obs=None, pose_obs_mask=None, lm_obs=None, lm_obs_mask=None,
+    )
+
+
+def _device_lm_solve_impl(cam, prob, hd, wt, wr, trim, iters: int, cg_iters: int):
+    """The ENTIRE windowed-LM solve as one traced program: pre-trim ->
+    iters x (linearize -> Schur-PCG -> accept/reject with lambda control).
+
+    Why: the host-loop optimize() costs ~30 host<->device round trips per
+    keyframe (6 LM iterations x several dispatches + cost fetches), which
+    through this rig's TCP tunnel measured 747 ms p50 per keyframe in the
+    round-5 1000-frame soak — pure link latency, not compute. One fused
+    program turns local BA into a single dispatch + one result fetch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vision_slam_frontend_tpu.backend.ba import (
+        _apply_step,
+        _linearize,
+        _reproj_residual_norms,
+        _solve_schur_pcg_scatter,
+        compute_cost,
+    )
+
+    # Pre-trim gross outliers at the initial estimate (the loose 10x gate of
+    # optimize()'s trimming path — local windows see the occasional
+    # hundreds-of-px false match that Huber alone only linearizes).
+    norms = _reproj_residual_norms(cam, prob)
+    prob = prob.replace(obs_mask=prob.obs_mask & (norms < 10.0 * trim))
+    cost0 = compute_cost(cam, prob, hd, wt, wr, True)
+
+    def body(_, carry):
+        pt, pq, lm, lam, cost = carry
+        p = prob.replace(poses_t=pt, poses_q=pq, landmarks=lm)
+        r, Jp, Jl, ro, Ji, Jj = _linearize(cam, p, hd, wt, wr, True)
+        dp, dl, _ = _solve_schur_pcg_scatter(
+            r, Jp, Jl, ro, Ji, Jj, p, lam, cg_iters, False
+        )
+        cand = _apply_step(p, dp, dl)
+        nc = compute_cost(cam, cand, hd, wt, wr, True)
+        ok = jnp.isfinite(nc) & (nc < cost)
+
+        def sel(a, b):
+            return jnp.where(ok, a, b)
+
+        return (
+            sel(cand.poses_t, pt), sel(cand.poses_q, pq),
+            sel(cand.landmarks, lm),
+            jnp.where(ok, jnp.maximum(lam * 0.4, 1e-9),
+                      jnp.minimum(lam * 4.0, 1e6)),
+            jnp.where(ok, nc, cost),
+        )
+
+    init = (prob.poses_t, prob.poses_q, prob.landmarks, jnp.float32(1e-3), cost0)
+    pt, pq, _lm, _lam, cost = jax.lax.fori_loop(0, iters, body, init)
+    return pt, pq, cost0, cost
+
+
+_device_lm_solve = None  # jitted lazily (keeps jax import out of module load)
+
+
+def _get_device_solver():
+    global _device_lm_solve
+    if _device_lm_solve is None:
+        import jax
+        from functools import partial
+
+        _device_lm_solve = jax.jit(
+            _device_lm_solve_impl, static_argnames=("iters", "cg_iters")
+        )
+    return _device_lm_solve
+
+
 def windowed_local_ba(
     problem: SLAMProblem,
     config,
@@ -60,11 +183,15 @@ def windowed_local_ba(
     """Optimize the last `window` poses; the oldest `fixed_overlap` of them
     stay frozen as the anchor to the rest of the trajectory.
 
-    Mutates `problem` in place (updates the tail nodes' poses). Returns
-    (updated_tail_count, info) — info is None when the window is too small
-    to optimize.
+    Runs as ONE device program per keyframe (see _device_lm_solve_impl) over
+    bucketed fixed capacities. Mutates `problem` in place (updates the tail
+    nodes' poses). Returns (updated_tail_count, info) — info is None when
+    the window is too small to optimize. Passing an explicit `solver` opts
+    into the host-loop optimize() path (full trimming/validation knobs).
     """
     import jax.numpy as jnp
+
+    from vision_slam_frontend_tpu.backend.residuals import CameraParams
 
     n = len(problem.nodes)
     if n < fixed_overlap + 2:
@@ -77,19 +204,25 @@ def windowed_local_ba(
     m = len(sub.nodes)
     fixed = np.zeros(ba.poses_t.shape[0], bool)
     fixed[: min(fixed_overlap, m)] = True
-    ba = ba.replace(pose_fixed=jnp.asarray(fixed))
-    # Local windows carry small informative residuals (a few px of pose
-    # drift) but also the occasional grossly wrong stereo/temporal match
-    # (hundreds of px). Huber alone only linearizes those — they still
-    # dominate the cost and drag the window — so trimming (with its loose
-    # pre-trim gate) is essential here.
-    solver = solver or BASolverConfig(
-        max_iterations=6, cg_iterations=24, huber_delta=5.0,
-        trim_threshold=8.0, trim_rounds=1,
-    )
-    opt, info = optimize(ba, config=config, solver=solver)
-    new_t = np.asarray(opt.poses_t)
-    new_q = np.asarray(opt.poses_q)
+    ba = ba.replace(pose_fixed=fixed)
+
+    if solver is not None:
+        # Host-loop path: the full BASolverConfig surface (multi-round
+        # trimming, validation, checkpointing) at host-loop dispatch cost.
+        ba = ba.replace(pose_fixed=jnp.asarray(ba.pose_fixed))
+        opt, info = optimize(ba, config=config, solver=solver)
+        new_t, new_q = np.asarray(opt.poses_t), np.asarray(opt.poses_q)
+    else:
+        ba = _pad_ba_for_device(ba, n_poses=window)
+        cam = CameraParams.from_config(config)
+        fn = _get_device_solver()
+        pt, pq, cost0, cost = fn(
+            cam, ba, jnp.float32(5.0), jnp.float32(30.0), jnp.float32(60.0),
+            jnp.float32(8.0), iters=6, cg_iters=24,
+        )
+        new_t = np.asarray(pt)
+        new_q = np.asarray(pq)
+        info = {"cost": float(cost), "history": [float(cost0), float(cost)]}
     for k in range(min(fixed_overlap, m), m):
         node = problem.nodes[start + k]
         node.pose.loc = new_t[k].astype(np.float32)

@@ -158,16 +158,39 @@ def build_ba_problem(
     R_cr = left_cam_to_robot[:3, :3]
     t_cr = left_cam_to_robot[:3, 3]
 
+    # World points for ALL of a node's features in one batched matmul (a
+    # per-observation quat_rotate here was ~60% of build time — the online
+    # local-BA path calls this per keyframe, round-5 soak profile).
+    _world_cache: dict = {}
+
+    def _node_world(node):
+        if id(node) not in _world_cache:
+            if not node.features:
+                _world_cache[id(node)] = (np.zeros((0, 3)), np.zeros(0, bool))
+            else:
+                p3 = np.stack(
+                    [np.asarray(f.point3d, np.float64) for f in node.features]
+                )
+                ok = np.all(np.isfinite(p3), axis=1) & (p3[:, 2] > 0.05)
+                q = np_geom.quat_normalize(np.asarray(node.pose.angle, np.float64))
+                w, x, y, z = q
+                R = np.array([
+                    [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+                    [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+                    [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+                ])
+                pts = (np.nan_to_num(p3) @ R_cr.T + t_cr) @ R.T + np.asarray(
+                    node.pose.loc, np.float64
+                )
+                _world_cache[id(node)] = (pts, ok)
+        return _world_cache[id(node)]
+
     def world_point(pose_id, feat_idx):
         node = node_by_id.get(pose_id)
         if node is None or feat_idx >= len(node.features):
             return None
-        p3 = np.asarray(node.features[feat_idx].point3d, np.float64)
-        if not (np.all(np.isfinite(p3)) and p3[2] > 0.05):
-            return None
-        p_robot = R_cr @ p3 + t_cr
-        q = np.asarray(node.pose.angle, np.float64)
-        return np_geom.quat_rotate(q, p_robot) + np.asarray(node.pose.loc, np.float64)
+        pts, ok = _node_world(node)
+        return pts[feat_idx] if ok[feat_idx] else None
 
     if consistency_threshold > 0:
         filtered = []
