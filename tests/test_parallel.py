@@ -236,10 +236,14 @@ class TestSingleStepParity:
                 err_msg=f"single-CG-step divergence: {name} vs scatter",
             )
 
-        # (c) Converged PCG lands in the dense step's neighbourhood.
+        # (c) Converged PCG lands in the dense step's neighbourhood. 2e-2:
+        # the dense path carries a 1e-3 diag-relative ridge (the round-5
+        # at-scale stability fix) that plain PCG does not, shifting weakly
+        # determined step components by ~1e-2 — expected, both are damped
+        # descent steps of the same system.
         pcg = BASolverConfig(schur_solver="pcg", cg_iterations=200, **one)
         p_pcg, _ = optimize(problem, cam=cam, solver=pcg)
-        np.testing.assert_allclose(np.asarray(p_pcg.poses_t), ref, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(p_pcg.poses_t), ref, atol=2e-2)
 
 
 class TestMultichipDryrun:

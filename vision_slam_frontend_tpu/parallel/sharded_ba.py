@@ -242,7 +242,13 @@ def _make_lm_sharded_dense_step(
 
         # --- Local landmark elimination (zero communication).
         V = lm_reduce(jnp.einsum("nij,nik->njk", Jl, Jl).reshape(Ns, 9))
-        V = V.reshape(Lb, 3, 3) + lam * jnp.eye(3)[None]
+        V = V.reshape(Lb, 3, 3)
+        # Same numeric hardening as the single-chip dense path (backend/
+        # ba.py round 5): trace-relative damping floor keeps the f32 3x3
+        # Cholesky factorable on ill-conditioned landmark blocks.
+        trV = V[..., 0, 0] + V[..., 1, 1] + V[..., 2, 2]
+        vfloor = jnp.maximum(lam, 1e-5 * trV / 3.0)[..., None, None]
+        V = V + vfloor * jnp.eye(3)[None]
         V_inv = _sym3_inv(V)
         Ginv = _inv_lower3(_chol3(V))
         g_lm = -lm_reduce(jnp.einsum("nij,ni->nj", Jl, r))
@@ -290,12 +296,18 @@ def _make_lm_sharded_dense_step(
         pose_of = op[tbl]  # (Lb, Ml)
         from vision_slam_frontend_tpu.backend.ba import _bbt_compensated
 
-        Sc = jnp.zeros((6 * P, 6 * P), jnp.float32)
+        # _bbt_compensated returns I-MAJOR (6, P, 6, P) blocks (round 5:
+        # TPU tiling pads trailing dim-6 axes 21x, see backend/ba.py);
+        # accumulate in that layout and permute once to (p, i)-major for
+        # the small replicated solve below.
+        Sc = jnp.zeros((6, P, 6, P), jnp.float32)
         for l0 in range(0, Lb, lm_chunk):
             lc = min(lm_chunk, Lb - l0)
             oh = pose_of[l0 : l0 + lc, :, None] == ar[None, None, :]
             Sc = Sc + _bbt_compensated(Bt[l0 : l0 + lc], oh)
-        Sc = jax.lax.psum(Sc, axis_name)
+        Sc = jnp.transpose(
+            jax.lax.psum(Sc, axis_name), (1, 0, 3, 2)
+        ).reshape(6 * P, 6 * P)
 
         # --- Replicated small system: identical Cholesky on every device.
         S = jnp.zeros((P, 6, P, 6), jnp.float32).at[ar, :, ar, :].set(U_diag)
@@ -305,8 +317,16 @@ def _make_lm_sharded_dense_step(
         S2 = S.reshape(6 * P, 6 * P) - Sc
         free6 = jnp.repeat(free, 6)
         S2 = S2 * free6[:, None] * free6[None, :] + jnp.diag(1.0 - free6)
-        chol = jax.scipy.linalg.cholesky(S2, lower=True)
-        x = jax.scipy.linalg.cho_solve((chol, True), b.reshape(-1))
+        # Jacobi equilibration + assembly-noise ridge (backend/ba.
+        # _dense_solve_core): cond(S) at small lambda exceeds f32 Cholesky
+        # range, and the compensated coupling's noise floor sits above S's
+        # smallest eigenvalues — identical hardening to the single-chip
+        # path, so both exact solvers produce the same step.
+        d = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(S2), 1e-20))
+        S2e = S2 * d[:, None] * d[None, :]
+        S2e = S2e + 1e-3 * jnp.eye(S2e.shape[0], dtype=S2e.dtype)
+        chol = jax.scipy.linalg.cholesky(S2e, lower=True)
+        x = jax.scipy.linalg.cho_solve((chol, True), b.reshape(-1) * d) * d
         d_pose = x.reshape(P, 6) * free[:, None]
         rr = jnp.linalg.norm(b - (S2 @ x).reshape(P, 6))
 
