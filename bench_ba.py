@@ -284,6 +284,17 @@ def main() -> None:
                 r = _bench_config(P, L, args.obs_per_lm, solver, cg, with_mfu=args.mfu)
             except Exception as e:  # OOM / compile failure: record, move on
                 r = {"P": P, "L": L, "solver": solver, "error": str(e)[:200]}
+                del e  # the traceback's frames pin device buffers
+            # Free compiled executables + any buffers pinned by dead frames:
+            # without this an OOM'd config poisons every LATER config in the
+            # same process (round-5 sweep: P=5000 pcg failed only because
+            # the preceding dense OOM left HBM allocated).
+            import gc
+
+            import jax as _jax
+
+            _jax.clear_caches()
+            gc.collect()
             print(json.dumps(r), flush=True)
             results.append(r)
         # Crossover summary: fastest solver per (P, L).
