@@ -73,29 +73,49 @@ CONDITIONS = {
 FAMILIES = ["orb", "brisk", "akaze", "sift", "freak"]
 
 
+_FRAME_CACHE: dict = {}
+
+
+def _condition_frames(condition: str):
+    """Render + degrade a condition's imagery ONCE — all five families see
+    identical frames (rendering dominated the 6x5 matrix's runtime)."""
+    if condition not in _FRAME_CACHE:
+        spec = CONDITIONS[condition]
+        deg = Degrader(**spec["degrader"])
+        contrast = spec.get("contrast", 1.0)
+        rig = SyntheticRig(
+            width=512, height=384, cx=256.0, cy=192.0, fx=420.0, fy=420.0
+        )
+        frames = []
+        for i, f in enumerate(
+            generate_sequence(num_frames=NUM_FRAMES, rig=rig, odom_drift=0.015,
+                              seed=11, **spec["seq"])
+        ):
+            left = deg(f.left, i, cam=0)
+            right = deg(f.right, i, cam=1)
+            if contrast != 1.0:
+                left = 120.0 + contrast * (left - 120.0)
+                right = 120.0 + contrast * (right - 120.0)
+            frames.append(
+                (left, right, f.odom_translation, f.odom_rotation,
+                 f.timestamp, f.cam_pos.copy())
+            )
+        _FRAME_CACHE[condition] = (rig, frames)
+    return _FRAME_CACHE[condition]
+
+
 def _run(condition: str, family: str):
-    spec = CONDITIONS[condition]
-    deg = Degrader(**spec["degrader"])
-    contrast = spec.get("contrast", 1.0)
-    rig = SyntheticRig(width=512, height=384, cx=256.0, cy=192.0, fx=420.0, fy=420.0)
+    rig, frames = _condition_frames(condition)
     config = FrontendConfig(
         calib=rig.calib(), max_features=256, frame_life=8, fast_threshold=8.0,
         descriptor_family=family,
     )
     fe = Frontend(config)
     gt = []
-    for i, f in enumerate(
-        generate_sequence(num_frames=NUM_FRAMES, rig=rig, odom_drift=0.015,
-                          seed=11, **spec["seq"])
-    ):
-        left = deg(f.left, i, cam=0)
-        right = deg(f.right, i, cam=1)
-        if contrast != 1.0:
-            left = 120.0 + contrast * (left - 120.0)
-            right = 120.0 + contrast * (right - 120.0)
-        fe.observe_odometry(f.odom_translation, f.odom_rotation, f.timestamp)
-        if fe.observe_image(left, right, f.timestamp):
-            gt.append(f.cam_pos.copy())
+    for left, right, odom_t, odom_r, t, cam_pos in frames:
+        fe.observe_odometry(odom_t, odom_r, t)
+        if fe.observe_image(left, right, t):
+            gt.append(cam_pos)
     return fe, np.stack(gt), config
 
 
