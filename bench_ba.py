@@ -270,15 +270,31 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.sweep:
-        grid = []
-        for P in (500, 2000, 5000):
-            for L in (100_000, 500_000):
-                grid.append((P, L, "dense", 0))
-                grid.append((P, L, "pcg", args.cg_iters))
-                if P >= 2000:
-                    grid.append((P, L, "dense_chunked", 0))
-                    grid.append((P, L, "segments", 0))
+        # Order matters: a runtime OOM poisons every LATER config in the
+        # process even after jax.clear_caches() (round-5: P=5000 PCG reported
+        # phantom RESOURCE_EXHAUSTED after a chunked-dense OOM, while running
+        # 2.77 it/s standalone). So all PCG rows run first, dense next, and
+        # the OOM-prone chunked/segments rows last; combos measured to exceed
+        # single-chip HBM (dense at P=5000: 16.8-25.4 GB planned vs 15.75,
+        # BASELINE round 5) are skipped with the reason recorded.
+        shapes = [(P, L) for P in (500, 2000, 5000) for L in (100_000, 500_000)]
+        grid = [(P, L, "pcg", args.cg_iters) for P, L in shapes]
+        grid += [(P, L, "dense", 0) for P, L in shapes if P < 5000]
+        grid += [
+            (P, L, "segments", 0) for P, L in shapes if P >= 2000
+        ]
+        grid += [
+            (P, L, "dense_chunked", 0) for P, L in shapes if P == 2000
+        ]
+        skipped = [
+            {"P": P, "L": L, "solver": s,
+             "skipped": "exceeds single-chip HBM (measured round 5)"}
+            for P, L in shapes if P == 5000
+            for s in ("dense", "dense_chunked")
+        ]
         results = []
+        for r in skipped:
+            print(json.dumps(r), flush=True)
         for P, L, solver, cg in grid:
             try:
                 r = _bench_config(P, L, args.obs_per_lm, solver, cg, with_mfu=args.mfu)
