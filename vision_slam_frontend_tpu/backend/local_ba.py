@@ -103,6 +103,105 @@ def _pad_ba_for_device(ba, n_poses: int, lm_mult: int = 512, obs_mult: int = 204
     )
 
 
+def _pack_ba(ba):
+    """Flatten the padded window problem into TWO host buffers (one f32,
+    one i32 — bools ride the int buffer) so each keyframe's local-BA call
+    pays 2 host->device transfers instead of ~17: through this rig's tunnel
+    each array transfer costs an RTT (3-25 ms), which dominated the soak's
+    216 ms p50. Returns (fbuf, ibuf, shapes) with `shapes` the static
+    (P, L, N, Q, has_right) key the device unpacker slices by."""
+    P = ba.poses_t.shape[0]
+    L = ba.landmarks.shape[0]
+    N = ba.obs_pose.shape[0]
+    Q = ba.odom_i.shape[0]
+    has_right = ba.obs_pixel_right is not None
+    f = [
+        np.asarray(ba.poses_t, np.float32).ravel(),
+        np.asarray(ba.poses_q, np.float32).ravel(),
+        np.asarray(ba.landmarks, np.float32).ravel(),
+        np.asarray(ba.obs_pixel, np.float32).ravel(),
+        np.asarray(ba.odom_t, np.float32).ravel(),
+        np.asarray(ba.odom_q, np.float32).ravel(),
+    ]
+    if has_right:
+        f.append(np.asarray(ba.obs_pixel_right, np.float32).ravel())
+    i = [
+        np.asarray(ba.obs_pose, np.int32).ravel(),
+        np.asarray(ba.obs_landmark, np.int32).ravel(),
+        np.asarray(ba.odom_i, np.int32).ravel(),
+        np.asarray(ba.odom_j, np.int32).ravel(),
+        np.asarray(ba.obs_mask, np.int32).ravel(),
+        np.asarray(ba.odom_mask, np.int32).ravel(),
+        np.asarray(ba.pose_fixed, np.int32).ravel(),
+    ]
+    if has_right:
+        i.append(np.asarray(ba.obs_right_mask, np.int32).ravel())
+    return (
+        np.concatenate(f),
+        np.concatenate(i),
+        (P, L, N, Q, has_right),
+    )
+
+
+def _unpack_ba(fbuf, ibuf, shapes):
+    """Rebuild the BAProblem pytree from the packed buffers (traced; all
+    slice offsets are static from `shapes`)."""
+    from vision_slam_frontend_tpu.types.slam_types import BAProblem
+
+    P, L, N, Q, has_right = shapes
+    off = 0
+
+    def takef(n, shape):
+        nonlocal off
+        out = fbuf[off : off + n].reshape(shape)
+        off += n
+        return out
+
+    poses_t = takef(P * 3, (P, 3))
+    poses_q = takef(P * 4, (P, 4))
+    landmarks = takef(L * 3, (L, 3))
+    obs_pixel = takef(N * 2, (N, 2))
+    odom_t = takef(Q * 3, (Q, 3))
+    odom_q = takef(Q * 4, (Q, 4))
+    obs_pixel_right = takef(N * 2, (N, 2)) if has_right else None
+    ioff = 0
+
+    def takei(n, shape, as_bool=False):
+        nonlocal ioff
+        out = ibuf[ioff : ioff + n].reshape(shape)
+        ioff += n
+        return out.astype(bool) if as_bool else out
+
+    obs_pose = takei(N, (N,))
+    obs_landmark = takei(N, (N,))
+    odom_i = takei(Q, (Q,))
+    odom_j = takei(Q, (Q,))
+    obs_mask = takei(N, (N,), as_bool=True)
+    odom_mask = takei(Q, (Q,), as_bool=True)
+    pose_fixed = takei(P, (P,), as_bool=True)
+    obs_right_mask = takei(N, (N,), as_bool=True) if has_right else None
+    import jax.numpy as jnp
+
+    return BAProblem(
+        poses_t=poses_t, poses_q=poses_q,
+        pose_mask=jnp.ones((P,), bool), pose_fixed=pose_fixed,
+        landmarks=landmarks, landmark_mask=jnp.ones((L,), bool),
+        obs_pose=obs_pose, obs_landmark=obs_landmark,
+        obs_pixel=obs_pixel, obs_mask=obs_mask,
+        obs_pixel_right=obs_pixel_right, obs_right_mask=obs_right_mask,
+        odom_i=odom_i, odom_j=odom_j, odom_t=odom_t, odom_q=odom_q,
+        odom_mask=odom_mask,
+    )
+
+
+def _device_lm_solve_packed_impl(cam, fbuf, ibuf, hd, wt, wr, trim,
+                                 shapes, iters: int, cg_iters: int):
+    """Packed-transfer entry: unpack the two buffers, then the standard
+    device LM solve."""
+    prob = _unpack_ba(fbuf, ibuf, shapes)
+    return _device_lm_solve_impl(cam, prob, hd, wt, wr, trim, iters, cg_iters)
+
+
 def _device_lm_solve_impl(cam, prob, hd, wt, wr, trim, iters: int, cg_iters: int):
     """The ENTIRE windowed-LM solve as one traced program: pre-trim ->
     iters x (linearize -> Schur-PCG -> accept/reject with lambda control).
@@ -165,10 +264,10 @@ def _get_device_solver():
     global _device_lm_solve
     if _device_lm_solve is None:
         import jax
-        from functools import partial
 
         _device_lm_solve = jax.jit(
-            _device_lm_solve_impl, static_argnames=("iters", "cg_iters")
+            _device_lm_solve_packed_impl,
+            static_argnames=("shapes", "iters", "cg_iters"),
         )
     return _device_lm_solve
 
@@ -214,11 +313,13 @@ def windowed_local_ba(
         new_t, new_q = np.asarray(opt.poses_t), np.asarray(opt.poses_q)
     else:
         ba = _pad_ba_for_device(ba, n_poses=window)
+        fbuf, ibuf, shapes = _pack_ba(ba)
         cam = CameraParams.from_config(config)
         fn = _get_device_solver()
         pt, pq, cost0, cost = fn(
-            cam, ba, jnp.float32(5.0), jnp.float32(30.0), jnp.float32(60.0),
-            jnp.float32(8.0), iters=6, cg_iters=24,
+            cam, fbuf, ibuf, jnp.float32(5.0), jnp.float32(30.0),
+            jnp.float32(60.0), jnp.float32(8.0), shapes=shapes,
+            iters=6, cg_iters=24,
         )
         new_t = np.asarray(pt)
         new_q = np.asarray(pq)
