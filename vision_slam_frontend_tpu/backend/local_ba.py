@@ -196,10 +196,22 @@ def _unpack_ba(fbuf, ibuf, shapes):
 
 def _device_lm_solve_packed_impl(cam, fbuf, ibuf, hd, wt, wr, trim,
                                  shapes, iters: int, cg_iters: int):
-    """Packed-transfer entry: unpack the two buffers, then the standard
-    device LM solve."""
+    """Packed-transfer entry: unpack the two buffers, run the standard
+    device LM solve, and pack the result into ONE f32 vector
+    [poses_t.ravel() | poses_q.ravel() | cost0 | cost] so the host pays a
+    single fetch RTT instead of four. hd/wt/wr/trim arrive as static Python
+    floats (constants of the production local-BA call site), so they are
+    baked into the trace — zero upload cost."""
+    import jax.numpy as jnp
+
     prob = _unpack_ba(fbuf, ibuf, shapes)
-    return _device_lm_solve_impl(cam, prob, hd, wt, wr, trim, iters, cg_iters)
+    pt, pq, cost0, cost = _device_lm_solve_impl(
+        cam, prob, jnp.float32(hd), jnp.float32(wt), jnp.float32(wr),
+        jnp.float32(trim), iters, cg_iters,
+    )
+    return jnp.concatenate(
+        [pt.reshape(-1), pq.reshape(-1), jnp.stack([cost0, cost])]
+    )
 
 
 def _device_lm_solve_impl(cam, prob, hd, wt, wr, trim, iters: int, cg_iters: int):
@@ -267,9 +279,29 @@ def _get_device_solver():
 
         _device_lm_solve = jax.jit(
             _device_lm_solve_packed_impl,
-            static_argnames=("shapes", "iters", "cg_iters"),
+            static_argnames=("hd", "wt", "wr", "trim", "shapes",
+                             "iters", "cg_iters"),
         )
     return _device_lm_solve
+
+
+_cam_cache: dict = {}  # id(config) -> (config, device-committed CameraParams)
+
+
+def _device_camera(config):
+    """CameraParams committed to the device ONCE per config object: its 12
+    pytree leaves would otherwise be re-uploaded on every keyframe's
+    local-BA call (12 tunnel RTTs for ~200 bytes of calibration)."""
+    import jax
+
+    from vision_slam_frontend_tpu.backend.residuals import CameraParams
+
+    hit = _cam_cache.get(id(config))
+    if hit is not None and hit[0] is config:
+        return hit[1]
+    cam = jax.device_put(CameraParams.from_config(config))
+    _cam_cache[id(config)] = (config, cam)
+    return cam
 
 
 def windowed_local_ba(
@@ -289,8 +321,6 @@ def windowed_local_ba(
     into the host-loop optimize() path (full trimming/validation knobs).
     """
     import jax.numpy as jnp
-
-    from vision_slam_frontend_tpu.backend.residuals import CameraParams
 
     n = len(problem.nodes)
     if n < fixed_overlap + 2:
@@ -314,16 +344,17 @@ def windowed_local_ba(
     else:
         ba = _pad_ba_for_device(ba, n_poses=window)
         fbuf, ibuf, shapes = _pack_ba(ba)
-        cam = CameraParams.from_config(config)
+        cam = _device_camera(config)
         fn = _get_device_solver()
-        pt, pq, cost0, cost = fn(
-            cam, fbuf, ibuf, jnp.float32(5.0), jnp.float32(30.0),
-            jnp.float32(60.0), jnp.float32(8.0), shapes=shapes,
-            iters=6, cg_iters=24,
-        )
-        new_t = np.asarray(pt)
-        new_q = np.asarray(pq)
-        info = {"cost": float(cost), "history": [float(cost0), float(cost)]}
+        out = np.asarray(fn(
+            cam, fbuf, ibuf, hd=5.0, wt=30.0, wr=60.0, trim=8.0,
+            shapes=shapes, iters=6, cg_iters=24,
+        ))
+        P = shapes[0]
+        new_t = out[: P * 3].reshape(P, 3)
+        new_q = out[P * 3 : P * 7].reshape(P, 4)
+        cost0, cost = float(out[-2]), float(out[-1])
+        info = {"cost": cost, "history": [cost0, cost]}
     for k in range(min(fixed_overlap, m), m):
         node = problem.nodes[start + k]
         node.pose.loc = new_t[k].astype(np.float32)
