@@ -104,12 +104,14 @@ def _pad_ba_for_device(ba, n_poses: int, lm_mult: int = 512, obs_mult: int = 204
 
 
 def _pack_ba(ba):
-    """Flatten the padded window problem into TWO host buffers (one f32,
-    one i32 — bools ride the int buffer) so each keyframe's local-BA call
-    pays 2 host->device transfers instead of ~17: through this rig's tunnel
-    each array transfer costs an RTT (3-25 ms), which dominated the soak's
-    216 ms p50. Returns (fbuf, ibuf, shapes) with `shapes` the static
-    (P, L, N, Q, has_right) key the device unpacker slices by."""
+    """Flatten the padded window problem into ONE host i32 buffer (the f32
+    leaves ride as raw bits via a view — int transfers have no NaN
+    canonicalization hazard, so the round trip is bit-exact) so each
+    keyframe's local-BA call pays 1 host->device transfer instead of ~17:
+    through this rig's tunnel each array transfer costs an RTT (3-25 ms),
+    which dominated the soak's 216 ms p50. Returns (buf, shapes) with
+    `shapes` the static (P, L, N, Q, has_right) key the device unpacker
+    derives all slice offsets from."""
     P = ba.poses_t.shape[0]
     L = ba.landmarks.shape[0]
     N = ba.obs_pose.shape[0]
@@ -136,19 +138,31 @@ def _pack_ba(ba):
     ]
     if has_right:
         i.append(np.asarray(ba.obs_right_mask, np.int32).ravel())
+    fbuf = np.ascontiguousarray(np.concatenate(f))
     return (
-        np.concatenate(f),
-        np.concatenate(i),
+        np.concatenate([fbuf.view(np.int32), np.concatenate(i)]),
         (P, L, N, Q, has_right),
     )
 
 
-def _unpack_ba(fbuf, ibuf, shapes):
-    """Rebuild the BAProblem pytree from the packed buffers (traced; all
-    slice offsets are static from `shapes`)."""
+def _f_count(shapes) -> int:
+    """Number of f32 elements at the head of the packed buffer (static)."""
+    P, L, N, Q, has_right = shapes
+    return P * 7 + L * 3 + N * 2 + Q * 7 + (N * 2 if has_right else 0)
+
+
+def _unpack_ba(buf, shapes):
+    """Rebuild the BAProblem pytree from the packed i32 buffer (traced; all
+    slice offsets are static from `shapes`; the f32 head is bitcast back)."""
+    import jax.lax as lax
+    import jax.numpy as jnp
+
     from vision_slam_frontend_tpu.types.slam_types import BAProblem
 
     P, L, N, Q, has_right = shapes
+    nf = _f_count(shapes)
+    fbuf = lax.bitcast_convert_type(buf[:nf], jnp.float32)
+    ibuf = buf[nf:]
     off = 0
 
     def takef(n, shape):
@@ -180,7 +194,6 @@ def _unpack_ba(fbuf, ibuf, shapes):
     odom_mask = takei(Q, (Q,), as_bool=True)
     pose_fixed = takei(P, (P,), as_bool=True)
     obs_right_mask = takei(N, (N,), as_bool=True) if has_right else None
-    import jax.numpy as jnp
 
     return BAProblem(
         poses_t=poses_t, poses_q=poses_q,
@@ -194,9 +207,9 @@ def _unpack_ba(fbuf, ibuf, shapes):
     )
 
 
-def _device_lm_solve_packed_impl(cam, fbuf, ibuf, hd, wt, wr, trim,
+def _device_lm_solve_packed_impl(cam, buf, hd, wt, wr, trim,
                                  shapes, iters: int, cg_iters: int):
-    """Packed-transfer entry: unpack the two buffers, run the standard
+    """Packed-transfer entry: unpack the single buffer, run the standard
     device LM solve, and pack the result into ONE f32 vector
     [poses_t.ravel() | poses_q.ravel() | cost0 | cost] so the host pays a
     single fetch RTT instead of four. hd/wt/wr/trim arrive as static Python
@@ -204,7 +217,7 @@ def _device_lm_solve_packed_impl(cam, fbuf, ibuf, hd, wt, wr, trim,
     baked into the trace — zero upload cost."""
     import jax.numpy as jnp
 
-    prob = _unpack_ba(fbuf, ibuf, shapes)
+    prob = _unpack_ba(buf, shapes)
     pt, pq, cost0, cost = _device_lm_solve_impl(
         cam, prob, jnp.float32(hd), jnp.float32(wt), jnp.float32(wr),
         jnp.float32(trim), iters, cg_iters,
@@ -343,11 +356,11 @@ def windowed_local_ba(
         new_t, new_q = np.asarray(opt.poses_t), np.asarray(opt.poses_q)
     else:
         ba = _pad_ba_for_device(ba, n_poses=window)
-        fbuf, ibuf, shapes = _pack_ba(ba)
+        buf, shapes = _pack_ba(ba)
         cam = _device_camera(config)
         fn = _get_device_solver()
         out = np.asarray(fn(
-            cam, fbuf, ibuf, hd=5.0, wt=30.0, wr=60.0, trim=8.0,
+            cam, buf, hd=5.0, wt=30.0, wr=60.0, trim=8.0,
             shapes=shapes, iters=6, cg_iters=24,
         ))
         P = shapes[0]
