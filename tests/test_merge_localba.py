@@ -126,3 +126,55 @@ class TestLocalBA:
             [np.linalg.norm(n.pose.loc - gt[n.node_idx]) for n in problem.nodes[-2:]]
         )
         assert err_after < err_before, f"{err_before:.4f} -> {err_after:.4f}"
+
+
+class TestPipelinedLocalBA:
+    """The CLI's pipelined local-BA schedule (dispatch at keyframe k, apply
+    at k+1) must produce the same refined trajectory the synchronous
+    schedule does — same math, just overlapped with inter-keyframe work."""
+
+    def test_pipeline_matches_synchronous_schedule(self, two_sessions):
+        import copy
+
+        from vision_slam_frontend_tpu.backend.local_ba import flush_local_ba
+
+        config, frames, pa, pb = two_sessions
+        rng = np.random.default_rng(1)
+        base = copy.deepcopy(pa)
+        for node in base.nodes[-3:]:
+            node.pose.loc = node.pose.loc + rng.normal(0, 0.06, 3).astype(np.float32)
+
+        # Synchronous: one call per simulated "keyframe arrival" over
+        # growing prefixes of the problem.
+        def run(schedule_pipelined: bool):
+            prob = copy.deepcopy(base)
+            all_nodes = prob.nodes
+            for upto in range(4, len(all_nodes) + 1):
+                prob.nodes = all_nodes[:upto]
+                windowed_local_ba(prob, config, window=5, fixed_overlap=2,
+                                  pipeline=schedule_pipelined)
+            if schedule_pipelined:
+                flush_local_ba()
+            prob.nodes = all_nodes
+            return np.stack([n.pose.loc for n in prob.nodes])
+
+        sync = run(False)
+        piped = run(True)
+        np.testing.assert_allclose(piped, sync, atol=1e-5)
+
+    def test_cli_pipelined_local_ba_end_to_end(self, tmp_path):
+        """Full CLI loop with --local_ba + --checkpoint_every: the drain
+        sites (periodic checkpoint + epilogue) must leave a consistent,
+        finite saved problem."""
+        from vision_slam_frontend_tpu.cli.slam_frontend import main
+
+        out = tmp_path / "p.npz"
+        rc = main([
+            "--input", "synthetic:14", "--output", str(out),
+            "--local_ba", "6", "--checkpoint_every", "5",
+        ])
+        assert rc == 0
+        d = np.load(out, allow_pickle=True)
+        assert len(d["nodes_id"]) >= 10
+        assert np.isfinite(d["nodes_loc"]).all()
+        assert np.isfinite(d["nodes_quat"]).all()

@@ -317,12 +317,40 @@ def _device_camera(config):
     return cam
 
 
+# Pipelined local BA (opt-in): the in-flight device solve from the previous
+# keyframe, flushed (result applied) at the START of the next call — the
+# solve + fetch then overlap the inter-keyframe frame IO / keyframe step
+# instead of blocking. Math is IDENTICAL to the synchronous path: the
+# pending result is applied before the next window problem is built, so
+# every solve sees exactly the poses the synchronous schedule would.
+_pending = None  # (node_refs, k0, out_device_array) or None
+
+
+def flush_local_ba():
+    """Apply the in-flight local-BA result (blocks until the async fetch
+    completes — usually already streamed in). Returns (updated, info)."""
+    global _pending
+    if _pending is None:
+        return 0, None
+    nodes, k0, P, dev_out = _pending  # P = PADDED pose capacity of the solve
+    _pending = None
+    out = np.asarray(dev_out)
+    new_t = out[: P * 3].reshape(P, 3)
+    new_q = out[P * 3 : P * 7].reshape(P, 4)
+    cost0, cost = float(out[-2]), float(out[-1])
+    for k in range(k0, len(nodes)):
+        nodes[k].pose.loc = new_t[k].astype(np.float32)
+        nodes[k].pose.angle = new_q[k].astype(np.float32)
+    return len(nodes) - k0, {"cost": cost, "history": [cost0, cost]}
+
+
 def windowed_local_ba(
     problem: SLAMProblem,
     config,
     window: int = 8,
     fixed_overlap: int = 2,
     solver: Optional[BASolverConfig] = None,
+    pipeline: bool = False,
 ):
     """Optimize the last `window` poses; the oldest `fixed_overlap` of them
     stay frozen as the anchor to the rest of the trajectory.
@@ -332,16 +360,25 @@ def windowed_local_ba(
     nodes' poses). Returns (updated_tail_count, info) — info is None when
     the window is too small to optimize. Passing an explicit `solver` opts
     into the host-loop optimize() path (full trimming/validation knobs).
+
+    With `pipeline=True` (the CLI's streaming loop) the device solve is
+    dispatched asynchronously and applied at the NEXT call (or at
+    `flush_local_ba()`): same math — the pending result lands
+    before the next window is built — but the solve + result fetch overlap
+    the caller's inter-keyframe work. The returned (updated, info) then
+    describe the PREVIOUS keyframe's flushed solve.
     """
     import jax.numpy as jnp
 
+    flushed = flush_local_ba() if pipeline else None
+
     n = len(problem.nodes)
     if n < fixed_overlap + 2:
-        return 0, None
+        return flushed if pipeline else (0, None)
     start = max(0, n - window)
     sub = slice_problem(problem, start)
     if len(sub.vision_factors) == 0:
-        return 0, None
+        return flushed if pipeline else (0, None)
     ba = build_ba_problem(sub, left_cam_to_robot=config.left_cam_to_robot)
     m = len(sub.nodes)
     fixed = np.zeros(ba.poses_t.shape[0], bool)
@@ -359,10 +396,21 @@ def windowed_local_ba(
         buf, shapes = _pack_ba(ba)
         cam = _device_camera(config)
         fn = _get_device_solver()
-        out = np.asarray(fn(
+        dev_out = fn(
             cam, buf, hd=5.0, wt=30.0, wr=60.0, trim=8.0,
             shapes=shapes, iters=6, cg_iters=24,
-        ))
+        )
+        if pipeline:
+            global _pending
+            try:
+                dev_out.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
+            k0 = min(fixed_overlap, m)
+            _pending = ([problem.nodes[start + k] for k in range(m)], k0,
+                        shapes[0], dev_out)
+            return flushed
+        out = np.asarray(dev_out)
         P = shapes[0]
         new_t = out[: P * 3].reshape(P, 3)
         new_q = out[P * 3 : P * 7].reshape(P, 4)

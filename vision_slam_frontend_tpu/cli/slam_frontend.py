@@ -393,6 +393,17 @@ def main(argv=None) -> int:
     t_start = time.perf_counter()
     frames_seen = 0
     frame_lat: list = []  # per-stereo-frame host-loop latency samples
+    ba_live = None  # the SLAMProblem snapshot owning the in-flight local BA
+
+    def _drain_local_ba():
+        # Apply any in-flight pipelined local-BA result (checkpoint /
+        # interrupt / epilogue want current poses, not one-keyframe-stale).
+        if args.local_ba > 0 and ba_live is not None:
+            from vision_slam_frontend_tpu.backend.local_ba import flush_local_ba
+
+            updated, _ = flush_local_ba()
+            if updated:
+                frontend.update_poses(ba_live.nodes)
     try:
         events = iter(events)
         first = next(events, None)
@@ -434,24 +445,34 @@ def main(argv=None) -> int:
                 # the append is O(delta), not O(problem).
                 viewer.update(frontend)
             if added and args.local_ba > 0 and n_poses >= 4:
-                from vision_slam_frontend_tpu.backend.local_ba import windowed_local_ba
+                from vision_slam_frontend_tpu.backend.local_ba import (
+                    flush_local_ba,
+                    windowed_local_ba,
+                )
 
-                live = frontend.get_slam_problem()
-                updated, ba_info = windowed_local_ba(live, config, window=args.local_ba)
-                if updated:
-                    # Push refined poses back into the frontend's accumulator
-                    # through the supported seam.
-                    frontend.update_poses(live.nodes)
+                # Pipelined one keyframe deep: flush keyframe k-1's solve
+                # (its device compute + result fetch overlapped this frame's
+                # IO + keyframe step), push the refined poses back, THEN
+                # build + dispatch this keyframe's window — identical math
+                # to the synchronous schedule, minus the blocking wait.
+                updated, ba_info = flush_local_ba()
+                if updated and ba_live is not None:
+                    frontend.update_poses(ba_live.nodes)
                     if args.verbosity > 1 and ba_info:
                         print(
                             f"[local-ba] refined {updated} poses "
                             f"(cost {ba_info['history'][0]:.1f} -> {ba_info['cost']:.1f})"
                         )
+                ba_live = frontend.get_slam_problem()
+                windowed_local_ba(
+                    ba_live, config, window=args.local_ba, pipeline=True
+                )
             if (
                 args.checkpoint_every > 0
                 and n_poses > last_ckpt_poses
                 and n_poses % args.checkpoint_every == 0
             ):
+                _drain_local_ba()
                 frontend.save_checkpoint(ckpt_path)
                 last_ckpt_poses = n_poses
                 if args.verbosity > 0:
@@ -462,6 +483,7 @@ def main(argv=None) -> int:
             frame_lat.append(time.perf_counter() - t_frame)
             if args.max_poses > 0 and n_poses >= args.max_poses:
                 break
+    _drain_local_ba()
     elapsed = time.perf_counter() - t_start
     if prev_sigint is not None:
         signal.signal(signal.SIGINT, prev_sigint)
