@@ -156,14 +156,14 @@ def prefetch_events(
                     return
                 if to_device and kind == "stereo":
                     l, r = payload
-                    payload = (
-                        jax.device_put(
-                            _np.clip(_np.asarray(l), 0, 255).astype(_np.uint8)
-                        ),
-                        jax.device_put(
-                            _np.clip(_np.asarray(r), 0, 255).astype(_np.uint8)
-                        ),
-                    )
+                    # ONE stacked (2, H, W) upload instead of two: each
+                    # host->device transfer pays a link RTT on this rig; the
+                    # on-device slices below are tiny async device programs.
+                    pair = jax.device_put(_np.stack([
+                        _np.clip(_np.asarray(l), 0, 255).astype(_np.uint8),
+                        _np.clip(_np.asarray(r), 0, 255).astype(_np.uint8),
+                    ]))
+                    payload = (pair[0], pair[1])
                 if not _put((kind, t, payload)):
                     return
             _put(DONE)
